@@ -1,0 +1,156 @@
+"""BVH build (host, vectorized numpy) + flattened device arrays.
+
+Replaces the reference's Mitsuba/OptiX BVH (utils/path_tracing.py:17-48,
+the single native choke point) with our own acceleration structure:
+
+- Triangles are Morton-sorted (21 bits/axis) and packed into leaves of
+  `leaf_size`; the tree is a *complete binary tree* over the sorted order
+  (an LBVH with median splits). Everything is O(F log F) vectorized numpy —
+  no per-node Python loop — so million-face ScanNet++ meshes build in ~1s.
+- The device representation is arrays only (a pytree), with *skip pointers*
+  for stackless preorder traversal: node b (1-based heap index) descends to
+  2b on AABB hit, otherwise jumps to skip[b]. Skip pointers have a closed
+  form on complete trees (strip trailing one-bits of b), precomputed here.
+
+This favors XLA/TPU: traversal state is one int per ray, all control flow is
+a single `lax.while_loop` over the whole ray batch (fixed shapes), and the
+node/triangle fetches are plain gathers.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import jax
+import numpy as np
+
+BIG = np.float32(3e38)
+
+
+@jax.tree_util.register_dataclass
+@dataclass
+class Tracer:
+    """Flattened BVH + triangle soup, ready for device traversal."""
+
+    node_min: jax.Array   # (N, 3) f32
+    node_max: jax.Array   # (N, 3) f32
+    skip: jax.Array       # (N,) i32, 1-based skip pointer, 0 = end
+    v0: jax.Array         # (P, 3) f32 triangle vertex 0 (Morton order, padded)
+    e1: jax.Array         # (P, 3) f32 edge v1-v0
+    e2: jax.Array         # (P, 3) f32 edge v2-v0
+    tri_id: jax.Array     # (P,) i32 original face index, -1 = padding
+    n_nodes: int = field(metadata=dict(static=True))
+    first_leaf: int = field(metadata=dict(static=True))  # 0-based node index
+    leaf_size: int = field(metadata=dict(static=True))
+    n_faces: int = field(metadata=dict(static=True))     # original face count
+
+
+def _expand_bits(x: np.ndarray) -> np.ndarray:
+    """Spread 21 bits of x so they occupy every 3rd bit (Morton helper)."""
+    x = x.astype(np.uint64) & np.uint64(0x1FFFFF)
+    x = (x | (x << np.uint64(32))) & np.uint64(0x1F00000000FFFF)
+    x = (x | (x << np.uint64(16))) & np.uint64(0x1F0000FF0000FF)
+    x = (x | (x << np.uint64(8))) & np.uint64(0x100F00F00F00F00F)
+    x = (x | (x << np.uint64(4))) & np.uint64(0x10C30C30C30C30C3)
+    x = (x | (x << np.uint64(2))) & np.uint64(0x1249249249249249)
+    return x
+
+
+def morton3d(points01: np.ndarray) -> np.ndarray:
+    """63-bit Morton codes for points normalized to [0,1]^3."""
+    q = np.clip(points01 * (1 << 21), 0, (1 << 21) - 1).astype(np.uint64)
+    return (
+        _expand_bits(q[:, 0])
+        | (_expand_bits(q[:, 1]) << np.uint64(1))
+        | (_expand_bits(q[:, 2]) << np.uint64(2))
+    )
+
+
+def _skip_pointers(n_nodes: int) -> np.ndarray:
+    """1-based preorder skip pointer for every node of a complete binary tree.
+
+    skip(b): strip trailing 1-bits of b; if the result is 0 the node closes
+    the preorder walk (skip=0), else skip = stripped + 1 (its next sibling).
+    """
+    b = np.arange(1, n_nodes + 1, dtype=np.uint64)
+    stripped = b.copy()
+    ones = (stripped & np.uint64(1)).astype(bool)
+    while ones.any():
+        stripped[ones] >>= np.uint64(1)
+        ones = (stripped & np.uint64(1)).astype(bool) & (stripped > 0)
+    out = np.where(stripped == 0, 0, stripped + 1).astype(np.int64)
+    return out.astype(np.int32)
+
+
+def build_bvh(triangles: np.ndarray, leaf_size: int = 4) -> Tracer:
+    """Build the flat BVH from (F, 3, 3) triangle vertices."""
+    triangles = np.asarray(triangles, dtype=np.float32)
+    n_faces = triangles.shape[0]
+    assert n_faces > 0, "empty mesh"
+
+    centroid = triangles.mean(axis=1)
+    lo, hi = centroid.min(0), centroid.max(0)
+    extent = np.maximum(hi - lo, 1e-9)
+    order = np.argsort(morton3d((centroid - lo) / extent), kind="stable")
+    tris = triangles[order]
+
+    n_leaves_needed = -(-n_faces // leaf_size)
+    depth = max(int(np.ceil(np.log2(max(n_leaves_needed, 1)))), 0)
+    n_leaves = 1 << depth
+    n_nodes = 2 * n_leaves - 1
+    first_leaf = n_leaves - 1
+    pad_to = n_leaves * leaf_size
+
+    v0 = np.zeros((pad_to, 3), np.float32)
+    e1 = np.zeros((pad_to, 3), np.float32)
+    e2 = np.zeros((pad_to, 3), np.float32)
+    tri_id = np.full((pad_to,), -1, np.int32)
+    v0[:n_faces] = tris[:, 0]
+    e1[:n_faces] = tris[:, 1] - tris[:, 0]
+    e2[:n_faces] = tris[:, 2] - tris[:, 0]
+    tri_id[:n_faces] = order.astype(np.int32)
+
+    # leaf AABBs (empty leaves get inverted boxes that never hit)
+    tmin = np.minimum(np.minimum(tris.min(1), BIG), BIG)
+    tmax = tris.max(1)
+    leaf_min = np.full((n_leaves, leaf_size, 3), BIG, np.float32)
+    leaf_max = np.full((n_leaves, leaf_size, 3), -BIG, np.float32)
+    flat_min = leaf_min.reshape(-1, 3)
+    flat_max = leaf_max.reshape(-1, 3)
+    flat_min[:n_faces] = tmin
+    flat_max[:n_faces] = tmax
+    leaf_min = flat_min.reshape(n_leaves, leaf_size, 3).min(1)
+    leaf_max = flat_max.reshape(n_leaves, leaf_size, 3).max(1)
+
+    node_min = np.full((n_nodes, 3), BIG, np.float32)
+    node_max = np.full((n_nodes, 3), -BIG, np.float32)
+    node_min[first_leaf:] = leaf_min
+    node_max[first_leaf:] = leaf_max
+    # bottom-up union, one vectorized pass per level
+    for level in range(depth - 1, -1, -1):
+        s = (1 << level) - 1
+        e = (1 << (level + 1)) - 1
+        l, r = 2 * np.arange(s, e) + 1, 2 * np.arange(s, e) + 2
+        node_min[s:e] = np.minimum(node_min[l], node_min[r])
+        node_max[s:e] = np.maximum(node_max[l], node_max[r])
+
+    import jax.numpy as jnp
+
+    return Tracer(
+        node_min=jnp.asarray(node_min),
+        node_max=jnp.asarray(node_max),
+        skip=jnp.asarray(_skip_pointers(n_nodes)),
+        v0=jnp.asarray(v0),
+        e1=jnp.asarray(e1),
+        e2=jnp.asarray(e2),
+        tri_id=jnp.asarray(tri_id),
+        n_nodes=n_nodes,
+        first_leaf=first_leaf,
+        leaf_size=leaf_size,
+        n_faces=n_faces,
+    )
+
+
+def build_tracer(mesh) -> Tracer:
+    """Convenience: mesh -> Tracer."""
+    return build_bvh(mesh.triangles())

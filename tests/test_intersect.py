@@ -1,0 +1,78 @@
+import jax.numpy as jnp
+import numpy as np
+
+from iris_tpu.geometry.bvh import build_bvh
+from iris_tpu.geometry.intersect import ray_intersect, ray_intersect_brute
+from iris_tpu.geometry.procedural import make_box_scene, random_rays
+
+
+def _compare(tracer, tris, o, d):
+    p1, n1, uv1, i1, v1 = ray_intersect(tracer, jnp.asarray(o), jnp.asarray(d))
+    p2, n2, uv2, i2, v2 = ray_intersect_brute(
+        jnp.asarray(tris), jnp.asarray(o), jnp.asarray(d)
+    )
+    assert np.array_equal(np.asarray(v1), np.asarray(v2))
+    # identical hit triangle except where two triangles are coplanar-adjacent
+    # (equal t): compare hit distance instead of index.
+    same = np.asarray(i1) == np.asarray(i2)
+    pv = np.asarray(v1)
+    assert np.allclose(np.asarray(p1)[pv], np.asarray(p2)[pv], atol=1e-3)
+    frac_same = same[pv].mean() if pv.any() else 1.0
+    assert frac_same > 0.99, frac_same
+    assert np.allclose(np.asarray(n1)[pv & same], np.asarray(n2)[pv & same],
+                       atol=1e-4)
+    assert np.allclose(np.asarray(uv1)[pv & same], np.asarray(uv2)[pv & same],
+                       atol=1e-3)
+
+
+def test_bvh_matches_brute_force_box_scene():
+    mesh, _ = make_box_scene(n_clutter=6, seed=0)
+    tris = mesh.triangles()
+    tracer = build_bvh(tris)
+    o, d = random_rays(512, seed=1)
+    _compare(tracer, tris, o, d)
+
+
+def test_bvh_matches_brute_force_random_soup():
+    rng = np.random.default_rng(7)
+    tris = rng.uniform(-1, 1, size=(333, 3, 3)).astype(np.float32)
+    tracer = build_bvh(tris)
+    o = rng.uniform(-2, 2, size=(256, 3)).astype(np.float32)
+    d = rng.normal(size=(256, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    _compare(tracer, tris, o, d)
+
+
+def test_single_triangle():
+    tris = np.asarray(
+        [[[0, 0, 0], [1, 0, 0], [0, 1, 0]]], dtype=np.float32
+    )
+    tracer = build_bvh(tris)
+    o = np.asarray([[0.2, 0.2, 1.0], [2.0, 2.0, 1.0]], np.float32)
+    d = np.asarray([[0, 0, -1], [0, 0, -1]], np.float32)
+    p, n, uv, i, v = ray_intersect(tracer, jnp.asarray(o), jnp.asarray(d))
+    assert bool(v[0]) and not bool(v[1])
+    assert np.allclose(p[0], [0.2, 0.2, 0.0], atol=1e-6)
+    assert int(i[0]) == 0 and int(i[1]) == -1
+    # normal faces the viewer (+z)
+    assert np.allclose(n[0], [0, 0, 1], atol=1e-6)
+
+
+def test_miss_outputs_are_clean():
+    mesh, _ = make_box_scene()
+    tracer = build_bvh(mesh.triangles())
+    o = np.full((4, 3), 10.0, np.float32)  # outside the room
+    d = np.tile(np.asarray([[1.0, 0, 0]], np.float32), (4, 1))
+    p, n, uv, i, v = ray_intersect(tracer, jnp.asarray(o), jnp.asarray(d))
+    assert not np.any(np.asarray(v))
+    assert np.all(np.asarray(i) == -1)
+    assert np.all(np.isfinite(np.asarray(p)))
+
+
+def test_normals_are_viewer_facing():
+    mesh, _ = make_box_scene()
+    tracer = build_bvh(mesh.triangles())
+    o, d = random_rays(256, seed=3)
+    p, n, uv, i, v = ray_intersect(tracer, jnp.asarray(o), jnp.asarray(d))
+    nov = np.sum(np.asarray(n) * -np.asarray(d), axis=-1)
+    assert np.all(nov[np.asarray(v)] > 0)
