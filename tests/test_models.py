@@ -1,0 +1,277 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from iris_tpu.models import brdf as B
+from iris_tpu.models import crf as C
+from iris_tpu.models import emitter as E
+from iris_tpu.models import slf as S
+from iris_tpu.models.emor import parse_emor_file
+from iris_tpu.models.hashgrid import HashGridConfig, hashgrid_encode, init_hashgrid
+from iris_tpu.geometry.procedural import make_box_scene
+
+
+# ------------------------------------------------------------- hash grid
+
+def test_hashgrid_shapes_and_grad():
+    cfg = HashGridConfig(n_levels=4, log2_table_size=8, base_resolution=4)
+    key = jax.random.PRNGKey(0)
+    table = init_hashgrid(key, cfg)
+    x = jax.random.uniform(key, (16, 3))
+    out = hashgrid_encode(table, cfg, x)
+    assert out.shape == (16, 8)
+
+    g = jax.grad(lambda t: hashgrid_encode(t, cfg, x).sum())(table)
+    assert float(jnp.sum(jnp.abs(g))) > 0
+
+
+def test_hashgrid_is_continuous():
+    cfg = HashGridConfig(n_levels=4, log2_table_size=10, base_resolution=4)
+    table = init_hashgrid(jax.random.PRNGKey(1), cfg)
+    x0 = jnp.asarray([[0.3, 0.4, 0.5]])
+    f0 = hashgrid_encode(table, cfg, x0)
+    f1 = hashgrid_encode(table, cfg, x0 + 1e-5)
+    assert np.allclose(f0, f1, atol=1e-4)
+
+
+def test_ngp_brdf_output_ranges():
+    p = B.init_ngp_brdf(jax.random.PRNGKey(0), 0.0, 2.0,
+                        HashGridConfig(n_levels=4, log2_table_size=8))
+    pos = jax.random.uniform(jax.random.PRNGKey(1), (32, 3)) * 2
+    mat = B.ngp_brdf_apply(p, pos)
+    assert mat["albedo"].shape == (32, 3)
+    assert np.all(np.asarray(mat["roughness"]) >= 0.02 - 1e-6)
+    assert np.all(np.asarray(mat["roughness"]) <= 1.0 + 1e-6)
+    assert np.all((np.asarray(mat["metallic"]) >= 0)
+                  & (np.asarray(mat["metallic"]) <= 1))
+
+
+# --------------------------------------------------------------- samplers
+
+def _up_normals(n):
+    return jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0]), (n, 3))
+
+
+def test_cosine_sampler_statistics():
+    n = 200_000
+    key = jax.random.PRNGKey(0)
+    s2 = jax.random.uniform(key, (n, 2))
+    wi = B.diffuse_sampler(s2, _up_normals(n))
+    nol = np.asarray(wi[:, 2])
+    assert np.all(nol > -1e-6)
+    # E[cos theta] = 2/3 under pdf = cos/pi
+    assert abs(nol.mean() - 2.0 / 3.0) < 5e-3
+
+
+def test_specular_sampler_matches_pdf():
+    """The sampler's empirical distribution must match the analytic pdf it
+    reports (the contract MIS relies on): compare a cos-theta histogram of
+    sampled wi against the pdf integrated per bin by uniform-sphere MC."""
+    n = 400_000
+    key = jax.random.PRNGKey(1)
+    normal = _up_normals(n)
+    wo = jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0]), (n, 3))
+    nbins = 8
+    for rough in [0.4, 0.8]:
+        r = jnp.full((n, 1), rough)
+        # observed: histogram over wi_z of sampled directions
+        s2 = jax.random.uniform(jax.random.fold_in(key, int(rough * 10)),
+                                (n, 2))
+        wi_s, pdf_s, _, _ = B.sample_specular(s2, wo, normal, r)
+        obs, edges = np.histogram(np.asarray(wi_s[:, 2]), bins=nbins,
+                                  range=(-1, 1))
+        obs = obs / n
+        # expected: uniform-sphere MC of the reported pdf per bin
+        k1, k2 = jax.random.split(jax.random.fold_in(key, 99))
+        z = jax.random.uniform(k1, (n,)) * 2 - 1
+        phi = jax.random.uniform(k2, (n,)) * 2 * np.pi
+        s = jnp.sqrt(1 - z * z)
+        wi_u = jnp.stack([s * jnp.cos(phi), s * jnp.sin(phi), z], -1)
+        _, _, pdf_u = B.eval_specular(wi_u, wo, normal, r)
+        pdf_u = np.asarray(pdf_u[:, 0])
+        zbin = np.clip(((np.asarray(z) + 1) / 2 * nbins).astype(int), 0,
+                       nbins - 1)
+        exp = np.zeros(nbins)
+        np.add.at(exp, zbin, pdf_u)
+        exp = exp / n * 4 * np.pi
+        # compare where mass is non-negligible
+        mask = exp > 1e-3
+        assert np.allclose(obs[mask], exp[mask], rtol=0.08, atol=5e-3), (
+            rough, obs, exp)
+
+
+def test_sample_brdf_weight_is_brdf_over_pdf():
+    n = 4096
+    key = jax.random.PRNGKey(2)
+    normal = _up_normals(n)
+    wo = B.diffuse_sampler(jax.random.uniform(key, (n, 2)), normal)
+    mat = {
+        "albedo": jnp.full((n, 3), 0.5),
+        "roughness": jnp.full((n, 1), 0.5),
+        "metallic": jnp.full((n, 1), 0.2),
+    }
+    k1, k2 = jax.random.split(key)
+    s1 = jax.random.uniform(k1, (n,))
+    s2 = jax.random.uniform(k2, (n, 2))
+    wi, pdf, w = B.sample_brdf(s1, s2, wo, normal, mat)
+    brdf, pdf2 = B.eval_brdf(wi, wo, normal, mat)
+    assert np.allclose(np.asarray(pdf), np.asarray(pdf2), atol=1e-6)
+    mask = np.asarray(pdf[:, 0]) > 1e-6
+    assert np.allclose(np.asarray(w)[mask],
+                       np.asarray(brdf / jnp.maximum(pdf, 1e-12))[mask],
+                       rtol=1e-3)
+    assert np.all(np.isfinite(np.asarray(w)))
+
+
+def test_furnace_diffuse():
+    """White Lambertian under uniform unit radiance: reflected = 1
+    (energy conservation of eval_brdf diffuse part + sampler)."""
+    n = 300_000
+    key = jax.random.PRNGKey(3)
+    normal = _up_normals(n)
+    wo = jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0]), (n, 3))
+    mat = {
+        "albedo": jnp.ones((n, 3)),
+        "roughness": jnp.ones((n, 1)),
+        "metallic": jnp.zeros((n, 1)),
+    }
+    k1, k2 = jax.random.split(key)
+    wi, pdf, w = B.sample_brdf(jax.random.uniform(k1, (n,)),
+                               jax.random.uniform(k2, (n, 2)), wo, normal, mat)
+    # E[brdf/pdf] = integral of brdf = albedo (diffuse) + specular 0.04 lobe
+    refl = float(jnp.mean(w[:, 0]))
+    assert 0.95 < refl < 1.15, refl
+
+
+# ------------------------------------------------------------------ SLF
+
+def test_slf_scatter_query_roundtrip():
+    mask = np.zeros((8, 8, 8), bool)
+    mask[2, 3, 4] = True   # [z,y,x]
+    mask[5, 5, 5] = True
+    slf = S.init_voxel_slf(mask, 0.0, 8.0)
+    # point inside voxel x=4,y=3,z=2 -> position (4.5, 3.5, 2.5)
+    x = jnp.asarray([[4.5, 3.5, 2.5], [5.5, 5.5, 5.5], [0.5, 0.5, 0.5]])
+    rad = jnp.asarray([[1.0, 2.0, 3.0], [4.0, 5.0, 6.0], [9.0, 9.0, 9.0]])
+    slf = S.slf_scatter_add(slf, x, rad)
+    slf = S.slf_finalize_mean(slf)
+    out = np.asarray(S.slf_query(slf, x))
+    assert np.allclose(out[0], [1, 2, 3])
+    assert np.allclose(out[1], [4, 5, 6])
+    assert np.allclose(out[2], 0.0)  # empty voxel -> 0
+
+
+# --------------------------------------------------------------- emitter
+
+def test_emitter_eval_and_sample():
+    mesh, is_em = make_box_scene()
+    em = E.make_emitter(is_em, mesh.triangles(),
+                        radiance=np.full((2, 3), 5.0, np.float32))
+    pos = jnp.zeros((4, 3))
+    d = jnp.zeros((4, 3)).at[:, 2].set(1.0)
+    tri = jnp.asarray([len(is_em) - 1, len(is_em) - 2, 0, -1])
+    le, pdf, valid_next = E.eval_emitter(em, pos, d, tri)
+    assert np.allclose(le[0], 5.0) and np.allclose(le[1], 5.0)
+    assert np.allclose(le[2], 0.0) and np.allclose(le[3], 0.0)
+    assert np.asarray(pdf)[0, 0] > 0 and np.asarray(pdf)[2, 0] == 0
+    assert list(np.asarray(valid_next)) == [False, False, True, False]
+
+    key = jax.random.PRNGKey(0)
+    n = 2048
+    p = jnp.broadcast_to(jnp.asarray([1.0, 1.0, 0.2]), (n, 3))
+    s1 = jax.random.uniform(key, (n,))
+    s2 = jax.random.uniform(jax.random.PRNGKey(1), (n, 2))
+    wi, pdf, tri = E.sample_emitter(em, s1, s2, p)
+    # all sampled directions point up toward the ceiling light
+    assert np.all(np.asarray(wi[:, 2]) > 0)
+    assert set(np.asarray(tri).tolist()) <= {len(is_em) - 2, len(is_em) - 1}
+    # area pdf = (1/2) / area_tri
+    areas = np.asarray(em.emitter_area)
+    expect = 0.5 / areas
+    got = np.asarray(pdf[:, 0])
+    assert np.all(np.isin(np.round(got, 3),
+                          np.round(expect, 3)))
+
+
+def test_emitter_slf_cache_termination():
+    mesh, is_em = make_box_scene()
+    mask = np.ones((4, 4, 4), bool)
+    slf = S.init_voxel_slf(mask, 0.0, 2.0)
+    slf = S.slf_finalize_mean(
+        S.slf_scatter_add(slf, jnp.asarray([[0.5, 0.5, 0.5]]),
+                          jnp.asarray([[1.0, 1.0, 1.0]]))
+    )
+    em = E.make_emitter(is_em, mesh.triangles(),
+                        radiance=np.full((2, 3), 5.0, np.float32), slf=slf)
+    pos = jnp.asarray([[0.5, 0.5, 0.5], [1.8, 1.8, 1.8]])
+    d = jnp.zeros((2, 3)).at[:, 2].set(1.0)
+    tri = jnp.asarray([0, 0])
+    rough = jnp.asarray([[0.9], [0.9]])
+    le, pdf, valid_next = E.eval_emitter(em, pos, d, tri, rough, 0.6)
+    # first point: cache nonzero -> returns cache, terminates
+    assert np.allclose(le[0], 1.0)
+    assert not bool(valid_next[0])
+    # second point: cache zero -> keeps going
+    assert np.allclose(le[1], 0.0)
+    assert bool(valid_next[1])
+    # low roughness -> no cache lookup
+    le2, _, vn2 = E.eval_emitter(em, pos, d, tri, jnp.full((2, 1), 0.3), 0.6)
+    assert np.allclose(le2, 0.0) and bool(vn2[0])
+
+
+# ------------------------------------------------------------------- CRF
+
+def test_emor_parse():
+    names, vectors = parse_emor_file(inv=False)
+    assert vectors.shape[1] == 1024
+    assert vectors.shape[0] >= 13
+    # f0 is monotone increasing from ~0 to ~1
+    f0 = vectors[1]
+    assert f0[0] < 0.01 and f0[-1] > 0.99
+    assert np.all(np.diff(f0) >= -1e-6)
+
+
+def test_crf_identity_weights_roundtrip():
+    crf = C.init_emor_crf(dim=3)
+    hdr = jnp.asarray(np.random.default_rng(0).uniform(0.05, 0.95, (64, 3)),
+                      jnp.float32)
+    ldr = C.crf_forward(crf, hdr, 1.0)
+    back = C.crf_inverse(crf, ldr, 1.0)
+    assert np.allclose(back, hdr, atol=5e-3)
+
+
+def test_crf_nonzero_weights_roundtrip_and_grad():
+    crf = C.init_emor_crf(dim=3)
+    crf = C.EmorCRF(
+        weight=jnp.asarray(np.random.default_rng(1).normal(0, 0.1, (3, 3)),
+                           jnp.float32),
+        f0=crf.f0, basis=crf.basis, dim=3,
+    )
+    hdr = jnp.asarray(np.random.default_rng(2).uniform(0.1, 0.9, (64, 3)),
+                      jnp.float32)
+    exposure = jnp.full((64, 1), 0.8)
+    ldr = C.crf_forward(crf, hdr, exposure)
+    back = C.crf_inverse(crf, ldr, exposure)
+    assert np.allclose(back, hdr, atol=2e-2)
+
+    def loss(w):
+        c = C.EmorCRF(weight=w, f0=crf.f0, basis=crf.basis, dim=3)
+        return jnp.sum(C.crf_forward(c, hdr, exposure) ** 2)
+
+    g = jax.grad(loss)(crf.weight)
+    assert np.all(np.isfinite(np.asarray(g))) and float(jnp.abs(g).sum()) > 0
+
+
+def test_crf_regularizers_finite():
+    crf = C.init_emor_crf(dim=3)
+    assert float(C.reg_weight(crf)) == 0.0
+    assert np.isfinite(float(C.reg_monotonically_increasing(crf)))
+    assert np.isfinite(float(C.reg_smoothness(crf)))
+
+
+def test_fit_weight_recovers_curves():
+    crf = C.init_emor_crf(dim=5)
+    w_true = np.random.default_rng(3).normal(0, 0.2, (3, 5)).astype(np.float32)
+    target = np.asarray(crf.f0)[None] + w_true @ np.asarray(crf.basis)
+    w_fit = C.fit_weight_to_crf(crf, target)
+    assert np.allclose(w_fit, w_true, atol=1e-3)
