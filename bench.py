@@ -1,0 +1,97 @@
+"""Benchmark: forward+backward path-trace throughput (the training hot path).
+
+Measures rays/s of a jit-compiled gradient step of `path_tracing_single`
+(3 BVH traversals + hash-grid BRDF + emitter sampling + CRF per camera
+sample, grads into material+emitter+CRF — mirrors SURVEY.md §3.2, the
+reference's initialize/train_emitter inner loop) on the flagship demo scene.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+`vs_baseline` is measured against BASELINE_BENCH.json at repo root (the
+recorded round-1 value); 1.0 when absent.
+
+A "ray" here = one camera sample (each costs 3 ray_intersect calls +
+2 material queries + NEE), matching how the reference pipeline counts its
+per-step ray budget (batch * spp).
+"""
+
+from __future__ import annotations
+
+import functools
+import json
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+
+BATCH = 8192          # reference training batch (configs/config.py:9)
+SPP = 32              # reference per-round spp (train.sh:20)
+WARMUP = 2
+ITERS = 8
+
+
+def main():
+    from iris_tpu.demo import make_demo_scene
+    from iris_tpu.geometry.procedural import camera_rays
+    from iris_tpu.models.brdf import ngp_brdf_apply
+    from iris_tpu.models.crf import crf_forward
+    from iris_tpu.render.integrator import path_tracing_single
+
+    # full-size flagship model: 2^19 hash table x 16 levels
+    tracer, em, ngp, crf, _ = make_demo_scene(
+        n_clutter=32, slf_res=64, hash_levels=16, log2_table=19
+    )
+    n_side = int(BATCH ** 0.5)
+    o, d, dxdu, dydv = camera_rays(n_side)
+    o, d = jnp.asarray(o), jnp.asarray(d)
+    dxdu, dydv = jnp.asarray(dxdu), jnp.asarray(dydv)
+    b = o.shape[0]
+    target = jnp.ones((b, 3)) * 0.5
+
+    params = {"material": ngp, "radiance": em.radiance, "crf_w": crf.weight}
+
+    from dataclasses import replace as dc_replace
+
+    def loss_fn(p, key):
+        em2 = dc_replace(em, radiance=p["radiance"])
+        crf2 = dc_replace(crf, weight=p["crf_w"])
+        mat_fn = functools.partial(ngp_brdf_apply, p["material"])
+        l = path_tracing_single(key, tracer, em2, mat_fn, o, d, dxdu, dydv,
+                                SPP)
+        ldr = crf_forward(crf2, l, 1.0)
+        return jnp.mean((ldr - target) ** 2)
+
+    grad_fn = jax.jit(jax.value_and_grad(loss_fn))
+
+    key = jax.random.PRNGKey(0)
+    for i in range(WARMUP):
+        v, g = grad_fn(params, jax.random.fold_in(key, i))
+        jax.block_until_ready(g)
+
+    t0 = time.time()
+    for i in range(ITERS):
+        v, g = grad_fn(params, jax.random.fold_in(key, 100 + i))
+    jax.block_until_ready(g)
+    dt = (time.time() - t0) / ITERS
+
+    rays_per_s = b * SPP / dt
+
+    baseline = 1.0
+    base_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "BASELINE_BENCH.json")
+    vs = 1.0
+    if os.path.exists(base_path):
+        with open(base_path) as f:
+            baseline = json.load(f).get("value", 1.0)
+        vs = rays_per_s / baseline
+
+    print(json.dumps({
+        "metric": "train_fwd_bwd_rays_per_s",
+        "value": round(rays_per_s, 1),
+        "unit": "rays/s/chip",
+        "vs_baseline": round(vs, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

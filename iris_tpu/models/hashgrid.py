@@ -49,8 +49,9 @@ def init_hashgrid(key: jax.Array, cfg: HashGridConfig) -> jnp.ndarray:
 
 def _corner_indices(cfg: HashGridConfig, cell: jnp.ndarray) -> jnp.ndarray:
     """cell: (B, L, 8, 3) int32 lattice coords -> (B, L, 8) table indices."""
-    res = jnp.asarray(cfg.resolutions() + 1)  # vertices per axis
-    dense_ok = (res.astype(np.int64) ** 3) <= cfg.table_size
+    res_np = cfg.resolutions() + 1  # vertices per axis
+    dense_ok = jnp.asarray((res_np.astype(np.int64) ** 3) <= cfg.table_size)
+    res = jnp.asarray(res_np)
     cx = cell[..., 0].astype(jnp.uint32)
     cy = cell[..., 1].astype(jnp.uint32)
     cz = cell[..., 2].astype(jnp.uint32)

@@ -1,0 +1,221 @@
+"""Stage training-step loss builders (L5 cores).
+
+Losses mirror the three reference trainers:
+  make_initialize_loss     — initialize.py:150-225 (joint BRDF+emitter init:
+      rendered MSE with material frozen in the render + segment-mean albedo
+      anchor on the live material)
+  make_brdf_crf_loss       — train_brdf_crf.py:163-314 (cached-shading
+      re-render + CRF + diffuse/propagation/albedo/CRF regularizers)
+  make_train_emitter_loss  — train_emitter.py (rendered MSE only; material
+      and CRF frozen)
+
+torch_scatter segment reductions become jax.ops.segment_sum with a static
+`max_segments`; boolean pixel filtering becomes valid-mask weighting. The
+semantic-segmentation propagation loss samples a fixed number of partner
+pixels per pixel (gated by same-segment indicators) instead of the
+reference's per-segment 1024-pair python loop (train_brdf_crf.py:249-261) —
+same estimator, fixed shapes.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass, replace as dc_replace
+
+import jax
+import jax.numpy as jnp
+
+from iris_tpu.core.ggx import lerp_specular
+from iris_tpu.core.vecmath import normalize
+from iris_tpu.geometry.intersect import ray_intersect
+from iris_tpu.models.brdf import ngp_brdf_apply
+from iris_tpu.models.crf import (
+    EmorCRF, crf_forward, reg_monotonically_increasing, reg_weight,
+)
+from iris_tpu.render.integrator import path_tracing_single
+from iris_tpu.utils.losses import mse, scale_invariant_mse, segment_mean
+
+
+@dataclass
+class LossConfig:
+    """Hyperparameters, defaults per reference configs/config.py."""
+    spp: int = 8
+    n_spp_rounds: int = 1          # SPP // spp accumulation rounds
+    ld: float = 5e-4               # diffuse regularization
+    lp: float = 5e-3               # part-segmentation propagation
+    ls: float = 1e-3               # semantic-segmentation propagation
+    la: float = 0.0                # albedo anchor
+    sigma_albedo: float = 0.05 / 3.0
+    sigma_pos: float = 0.3 / 3.0
+    l_crf_increasing: float = 0.1
+    l_crf_weight: float = 0.001
+    max_segments: int = 128        # static segment-id bound
+    has_part: bool = True
+    n_pairs: int = 16              # partner samples for semantic propagation
+
+
+def _seg_ids(segmentation, max_segments):
+    return jnp.clip(segmentation.astype(jnp.int32), 0, max_segments - 1)
+
+
+def make_initialize_loss(tracer, em_template, crf: EmorCRF, cfg: LossConfig):
+    """params = {"material": NGPBRDF, "radiance": (K,3)}. batch keys:
+    rays (B,12), rgbs (B,3), exposure (B,1)|None, segmentation (B,),
+    int_albedo (B,3)."""
+
+    def loss_fn(params, batch, key):
+        rays, rgbs_gt = batch["rays"], batch["rgbs"]
+        xs, ds = rays[..., 0:3], normalize(rays[..., 3:6])
+        dxdu, dydv = rays[..., 6:9], rays[..., 9:12]
+        exposure = batch.get("exposure")
+
+        em = dc_replace(em_template, radiance=params["radiance"])
+        # render with material detached: only the emitter takes render grads
+        # (reference initialize.py:170-186 requires_grad toggling)
+        mat_frozen = jax.lax.stop_gradient(params["material"])
+        mat_fn_frozen = functools.partial(ngp_brdf_apply, mat_frozen)
+        k_render, k_jit = jax.random.split(key)
+        l = jnp.zeros_like(xs)
+        for r in range(cfg.n_spp_rounds):
+            l = l + path_tracing_single(
+                jax.random.fold_in(k_render, r), tracer, em, mat_fn_frozen,
+                xs, ds, dxdu, dydv, cfg.spp,
+            )
+        l = l / cfg.n_spp_rounds
+        ldr = crf_forward(crf, l, exposure)
+        loss_c = mse(ldr, rgbs_gt)
+
+        # albedo anchor against segment-mean pseudo albedo, live material
+        du, dv = jax.random.uniform(k_jit, (2, xs.shape[0], 1),
+                                    minval=-0.5, maxval=0.5)
+        wi = normalize(ds + dxdu * du + dydv * dv)
+        positions, _, _, _, valid = ray_intersect(tracer, xs, wi)
+        mat = ngp_brdf_apply(params["material"], positions)
+        seg = _seg_ids(batch["segmentation"], cfg.max_segments)
+        w = valid.astype(jnp.float32)
+        _, mean_albedo = segment_mean(batch["int_albedo"], seg,
+                                      cfg.max_segments, weights=w)
+        diff = (mat["albedo"] - mean_albedo) ** 2
+        loss_a = jnp.sum(diff * w[:, None]) / jnp.maximum(jnp.sum(w) * 3, 1.0)
+
+        loss = loss_c + loss_a
+        return loss, {"loss_c": loss_c, "loss_a": loss_a}
+
+    return loss_fn
+
+
+def make_train_emitter_loss(tracer, em_template, material_params,
+                            crf: EmorCRF, cfg: LossConfig):
+    """params = {"radiance": (K,3)}; rendered-MSE only (train_emitter.py)."""
+    mat_fn = functools.partial(ngp_brdf_apply,
+                               jax.lax.stop_gradient(material_params))
+
+    def loss_fn(params, batch, key):
+        rays, rgbs_gt = batch["rays"], batch["rgbs"]
+        xs, ds = rays[..., 0:3], normalize(rays[..., 3:6])
+        dxdu, dydv = rays[..., 6:9], rays[..., 9:12]
+        em = dc_replace(em_template, radiance=params["radiance"])
+        l = jnp.zeros_like(xs)
+        for r in range(cfg.n_spp_rounds):
+            l = l + path_tracing_single(
+                jax.random.fold_in(key, r), tracer, em, mat_fn,
+                xs, ds, dxdu, dydv, cfg.spp,
+            )
+        l = l / cfg.n_spp_rounds
+        ldr = crf_forward(crf, l, batch.get("exposure"))
+        loss_c = mse(ldr, rgbs_gt)
+        return loss_c, {"loss_c": loss_c}
+
+    return loss_fn
+
+
+def make_brdf_crf_loss(tracer, crf_template: EmorCRF, cfg: LossConfig,
+                       voxel_min, voxel_max):
+    """params = {"material": NGPBRDF, "crf_weight": (3,dim)}.
+
+    batch keys: rays (B,12), rgbs, exposure, diffuse (B,3),
+    specular0/1 (B,R,3), segmentation (B,), int_albedo (B,3).
+    Reference train_brdf_crf.py:163-314."""
+
+    def loss_fn(params, batch, key):
+        rays, rgbs_gt = batch["rays"], batch["rgbs"]
+        xs, ds = rays[..., 0:3], normalize(rays[..., 3:6])
+        positions, _, _, _, valid = ray_intersect(tracer, xs, ds)
+        w = valid.astype(jnp.float32)
+
+        mat = ngp_brdf_apply(params["material"], positions)
+        albedo, metallic, roughness = (mat["albedo"], mat["metallic"],
+                                       mat["roughness"])
+        kd = albedo * (1.0 - metallic)
+        ks = 0.04 * (1.0 - metallic) + albedo * metallic
+
+        ld_shade = kd * batch["diffuse"]
+        ls_shade = ks * lerp_specular(batch["specular0"], roughness) \
+            + lerp_specular(batch["specular1"], roughness)
+        l = ld_shade + ls_shade
+
+        crf = dc_replace(crf_template, weight=params["crf_weight"])
+        ldr = crf_forward(crf, l, batch.get("exposure"))
+        loss_c = jnp.sum(((ldr - rgbs_gt) ** 2) * w[:, None]) / jnp.maximum(
+            jnp.sum(w) * 3, 1.0)
+
+        # diffuse prior (reference :210)
+        loss_d = cfg.ld * (
+            _wmean(jnp.abs(roughness - 1.0), w) + _wmean(metallic, w)
+        )
+
+        seg = _seg_ids(batch["segmentation"], cfg.max_segments)
+        if cfg.has_part:
+            # weighted per-part means, weight = (1-roughness) detached (:223)
+            ws = jax.lax.stop_gradient(1.0 - roughness[:, 0]) + 1e-4
+            ws = ws * w
+            _, mean_m = segment_mean(metallic[:, 0], seg, cfg.max_segments, ws)
+            _, mean_r = segment_mean(roughness[:, 0], seg, cfg.max_segments, ws)
+            loss_seg = cfg.lp * (
+                _wmean(jnp.abs(metallic[:, 0] - mean_m), w)
+                + _wmean(jnp.abs(roughness[:, 0] - mean_r), w)
+            )
+        else:
+            # semantic propagation: bilateral-weighted in-segment means via
+            # fixed per-pixel partner sampling (:240-290)
+            b = positions.shape[0]
+            pos_n = (positions - voxel_min) / (voxel_max - voxel_min) * 2 - 1
+            j = jax.random.randint(key, (b, cfg.n_pairs), 0, b)
+            alb_d = jax.lax.stop_gradient(albedo)
+            w_alb = jnp.exp(-jnp.sum(
+                (alb_d[:, None] - alb_d[j]) ** 2, -1
+            ) / cfg.sigma_albedo ** 2 / 2.0)
+            w_pos = jnp.exp(-jnp.sum(
+                (pos_n[:, None] - pos_n[j]) ** 2, -1
+            ) / cfg.sigma_pos ** 2 / 2.0)
+            same = (seg[:, None] == seg[j]) & valid[j] & valid[:, None]
+            wij = w_alb * w_pos * same
+            denom = jnp.sum(wij, -1) + 1e-4
+            mean_r = jnp.sum(wij * roughness[j, 0], -1) / denom
+            mean_m = jnp.sum(wij * metallic[j, 0], -1) / denom
+            per_pix = jnp.abs(mean_r - roughness[:, 0]) \
+                + jnp.abs(mean_m - metallic[:, 0])
+            seg_loss, _ = segment_mean(per_pix, seg, cfg.max_segments, w)
+            loss_seg = cfg.ls * jnp.sum(seg_loss)
+
+        # albedo anchor (:292-306)
+        if cfg.la > 0:
+            _, mean_tgt = segment_mean(batch["int_albedo"], seg,
+                                       cfg.max_segments, w)
+            loss_a = cfg.la * scale_invariant_mse(mean_tgt, albedo)
+        else:
+            loss_a = 0.0
+
+        reg_crf = cfg.l_crf_increasing * reg_monotonically_increasing(crf) \
+            + cfg.l_crf_weight * reg_weight(crf)
+
+        loss = loss_c + loss_d + loss_seg + loss_a + reg_crf
+        return loss, {"loss_c": loss_c, "loss_d": loss_d,
+                      "loss_seg": loss_seg, "reg_crf": reg_crf}
+
+    return loss_fn
+
+
+def _wmean(x, w):
+    wb = jnp.broadcast_to(w[:, None] if x.ndim > 1 else w, x.shape)
+    return jnp.sum(x * wb) / jnp.maximum(jnp.sum(wb), 1.0)

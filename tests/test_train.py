@@ -1,0 +1,108 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from iris_tpu.demo import make_demo_batch, make_demo_scene
+from iris_tpu.parallel.sharding import data_mesh, replicate, shard_batch
+from iris_tpu.train.loop import make_train_step
+from iris_tpu.train.optim import make_optimizer
+from iris_tpu.train.steps import (
+    LossConfig, make_brdf_crf_loss, make_initialize_loss,
+    make_train_emitter_loss,
+)
+
+
+def _tiny():
+    return make_demo_scene(n_clutter=2, slf_res=8, hash_levels=4,
+                           log2_table=8)
+
+
+def test_initialize_step_decreases_loss():
+    tracer, em, ngp, crf, _ = _tiny()
+    cfg = LossConfig(spp=2, max_segments=8)
+    loss_fn = make_initialize_loss(tracer, em, crf, cfg)
+    params = {"material": ngp, "radiance": em.radiance}
+    opt = make_optimizer(learning_rate=5e-2)
+    opt_state = opt.init(params)
+    step = make_train_step(loss_fn, opt, donate=False)
+    batch = make_demo_batch(n_side=8)
+    losses = []
+    for i in range(5):
+        params, opt_state, loss, aux = step(params, opt_state, batch,
+                                            jax.random.PRNGKey(i))
+        losses.append(float(loss))
+    assert all(np.isfinite(losses))
+    assert losses[-1] < losses[0], losses
+
+
+def test_train_emitter_loss_grads_only_radiance():
+    tracer, em, ngp, crf, _ = _tiny()
+    cfg = LossConfig(spp=2)
+    loss_fn = make_train_emitter_loss(tracer, em, ngp, crf, cfg)
+    batch = make_demo_batch(n_side=8)
+    g = jax.grad(lambda p: loss_fn(p, batch, jax.random.PRNGKey(0))[0])(
+        {"radiance": em.radiance}
+    )
+    assert np.all(np.isfinite(np.asarray(g["radiance"])))
+    assert float(jnp.abs(g["radiance"]).sum()) > 0
+
+
+def test_brdf_crf_loss_both_variants():
+    tracer, em, ngp, crf, mesh = _tiny()
+    b = 64
+    rng = np.random.default_rng(0)
+    batch = make_demo_batch(n_side=8)
+    batch = {k: v[:b] for k, v in batch.items()}
+    batch["diffuse"] = jnp.asarray(rng.uniform(0, 1, (b, 3)), jnp.float32)
+    batch["specular0"] = jnp.asarray(rng.uniform(0, 1, (b, 6, 3)), jnp.float32)
+    batch["specular1"] = jnp.asarray(rng.uniform(0, 1, (b, 6, 3)), jnp.float32)
+
+    for has_part in (True, False):
+        cfg = LossConfig(max_segments=8, has_part=has_part, la=0.1)
+        loss_fn = make_brdf_crf_loss(tracer, crf, cfg, -0.1, 2.1)
+        params = {"material": ngp, "crf_weight": crf.weight}
+        (loss, aux), g = jax.value_and_grad(loss_fn, has_aux=True)(
+            params, batch, jax.random.PRNGKey(0)
+        )
+        assert np.isfinite(float(loss))
+        assert float(jnp.abs(g["crf_weight"]).sum()) > 0
+        assert float(jnp.abs(g["material"].table).sum()) > 0
+
+
+def test_sharded_step_matches_single_device():
+    """The 8-device SPMD step must produce the same loss as unsharded."""
+    tracer, em, ngp, crf, _ = _tiny()
+    cfg = LossConfig(spp=2, max_segments=8)
+    loss_fn = make_initialize_loss(tracer, em, crf, cfg)
+    params = {"material": ngp, "radiance": em.radiance}
+    opt = make_optimizer()
+    opt_state = opt.init(params)
+    batch = make_demo_batch(n_side=8)
+    key = jax.random.PRNGKey(0)
+
+    step1 = make_train_step(loss_fn, opt, donate=False)
+    _, _, loss1, _ = step1(params, opt_state, batch, key)
+
+    mesh = data_mesh(8, devices=jax.devices("cpu"))
+    p8 = replicate(mesh, params)
+    o8 = replicate(mesh, opt_state)
+    b8 = {k: shard_batch(mesh, v) for k, v in batch.items()}
+    step8 = make_train_step(loss_fn, opt, mesh, donate=False)
+    _, _, loss8, _ = step8(p8, o8, b8, key)
+    assert np.isclose(float(loss1), float(loss8), rtol=1e-4), (
+        float(loss1), float(loss8))
+
+
+def test_graft_entry():
+    import __graft_entry__ as ge
+
+    fn, args = ge.entry()
+    out = jax.jit(fn)(*args)
+    assert out.shape[-1] == 3
+    assert np.all(np.isfinite(np.asarray(out)))
+
+
+def test_graft_dryrun_multichip():
+    import __graft_entry__ as ge
+
+    ge.dryrun_multichip(8)
