@@ -1,0 +1,58 @@
+"""Shared CLI option schema (parity: reference configs/config.py:7-159).
+
+Every stage app builds its parser from this dict plus program-level flags,
+exactly like the reference's add_model_specific_args pattern.
+"""
+
+from __future__ import annotations
+
+from argparse import ArgumentParser
+
+default_options = {
+    "batch_size": {"type": int, "default": 1024 * 8},
+    "dataset": {"type": str, "nargs": 2,
+                "default": ["synthetic", "../data/indoor_synthetic/kitchen"]},
+    "scene": {"type": str, "default": ""},
+    "voxel_path": {"type": str, "default": "outputs/kitchen/vslf.npz"},
+    "num_workers": {"type": int, "default": 0},
+    "dir_val": {"type": str, "default": "val"},
+    "val_step": {"type": int, "default": 250},
+    "has_part": {"type": int, "default": 1},
+    "res_scale": {"type": float, "default": 1.0},
+    "optimizer": {"type": str, "choices": ["SGD", "Adam"], "default": "Adam"},
+    "learning_rate": {"type": float, "default": 1e-3},
+    "weight_decay": {"type": float, "default": 0.0},
+    "scheduler_rate": {"type": float, "default": 0.5},
+    "milestones": {"type": int, "nargs": "*", "default": [1000]},
+    "le": {"type": float, "default": 1.0},
+    "ld": {"type": float, "default": 5e-4},
+    "lp": {"type": float, "default": 5e-3},
+    "ls": {"type": float, "default": 1e-3},
+    "la": {"type": float, "default": 0.0},
+    "sigma_albedo": {"type": float, "default": 0.05 / 3.0},
+    "sigma_pos": {"type": float, "default": 0.3 / 3.0},
+    "ckpt_path": {"type": str, "default": None},
+    "emitter_path": {"type": str, "default": None},
+    "freeze_emitter": {"type": int, "default": 0},
+    "freeze_crf": {"type": int, "default": 0},
+    "indir_depth": {"type": int, "default": 5},
+    "SPP": {"type": int, "default": 512},
+    "spp": {"type": int, "default": 8},
+    "ldr_img_dir": {"type": str, "default": None},
+    "crf_basis": {"type": int, "default": 3},
+    "load_crf": {"type": int, "default": 0},
+    "l_crf_increasing": {"type": float, "default": 0.1},
+    "l_crf_weight": {"type": float, "default": 0.001},
+    # TPU-specific additions
+    "n_devices": {"type": int, "default": None},
+    "hash_levels": {"type": int, "default": 32},
+    "log2_hashmap_size": {"type": int, "default": 19},
+    "max_segments": {"type": int, "default": 128},
+}
+
+
+def add_model_specific_args(parser: ArgumentParser | None = None):
+    parser = parser or ArgumentParser()
+    for name, args in default_options.items():
+        parser.add_argument(f"--{name}", **args)
+    return parser

@@ -1,0 +1,84 @@
+"""Stage 3: joint BRDF + emitter initialization by differentiable path
+tracing (parity: reference initialize.py).
+
+Optimizes {hash-grid material, emitter radiance} against LDR pixels through
+the frozen CRF: rendered loss (material detached in the render) + segment-
+mean albedo anchor. Writes init ckpt consumed by later stages.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from argparse import ArgumentParser
+
+import jax
+import numpy as np
+
+from iris_tpu.data.datasets import RayBatcher
+from iris_tpu.models.crf import init_emor_crf
+from iris_tpu.parallel.sharding import data_mesh
+from iris_tpu.pipeline.common import (
+    build_material, ckpt_path, load_emitter, load_scene, load_vslf,
+    make_dataset,
+)
+from iris_tpu.pipeline.config import add_model_specific_args
+from iris_tpu.train.checkpoint import load_pytree, save_pytree
+from iris_tpu.train.loop import run_training
+from iris_tpu.train.optim import make_optimizer
+from iris_tpu.train.steps import LossConfig, make_initialize_loss
+
+
+def main(argv=None):
+    parser = add_model_specific_args(ArgumentParser())
+    parser.add_argument("--experiment_name", type=str, required=True)
+    parser.add_argument("--max_steps", type=int, default=2000)
+    parser.add_argument("--checkpoint_path", type=str,
+                        default="./checkpoints")
+    parser.add_argument("--resume", action="store_true")
+    parser.add_argument("--val_frame", type=int, default=0)
+    args = parser.parse_args(argv)
+
+    ds_name, ds_root = args.dataset
+    scene_id = args.scene if ds_name == "scannetpp" else ""
+    mesh, tracer = load_scene(ds_name, ds_root, scene_id)
+
+    slf, _ = load_vslf(args.voxel_path)
+    em = load_emitter(args.emitter_path, mesh, slf=slf)
+    crf = init_emor_crf(dim=args.crf_basis)
+
+    material = build_material(args, float(slf.voxel_min),
+                              float(slf.voxel_max))
+    params = {"material": material, "radiance": em.radiance}
+    out = ckpt_path(args.checkpoint_path, args.experiment_name)
+    if args.resume and os.path.exists(out):
+        params = load_pytree(out)
+        print("[initialize] resumed from", out)
+
+    dataset = make_dataset(args, "train", load_inverse=True,
+                           has_part=bool(args.has_part))
+    bank = dataset.pixel_bank(keys=("rays", "rgbs", "segmentation",
+                                    "int_albedo"))
+    batcher = RayBatcher(bank, args.batch_size)
+
+    cfg = LossConfig(
+        spp=args.spp, n_spp_rounds=max(args.SPP // args.spp, 1),
+        ld=args.ld, lp=args.lp, ls=args.ls, la=args.la,
+        max_segments=args.max_segments, has_part=bool(args.has_part),
+    )
+    loss_fn = make_initialize_loss(tracer, em, crf, cfg)
+    optimizer = make_optimizer(args.learning_rate, args.weight_decay,
+                               tuple(args.milestones), args.scheduler_rate,
+                               args.optimizer)
+    mesh_dev = data_mesh(args.n_devices)
+    t0 = time.time()
+    params = run_training(loss_fn, params, iter(batcher), optimizer,
+                          args.max_steps, jax.random.PRNGKey(0),
+                          mesh=mesh_dev)
+    save_pytree(out, jax.device_get(params))
+    print(f"[train - BRDF-emission] time (s): {time.time() - t0:.1f}")
+    print("[initialize] saved", out)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,82 @@
+"""Stage 8: emitter radiance refinement (parity: reference train_emitter.py).
+
+Material + CRF frozen (loaded from the train_brdf_crf checkpoint); only the
+emitter radiance receives gradients from MSE(CRF(path_tracing_single), LDR).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from argparse import ArgumentParser
+from dataclasses import replace as dc_replace
+
+import jax
+import jax.numpy as jnp
+
+from iris_tpu.data.datasets import RayBatcher
+from iris_tpu.models.crf import init_emor_crf
+from iris_tpu.parallel.sharding import data_mesh
+from iris_tpu.pipeline.common import (
+    build_material, ckpt_path, load_emitter, load_scene, load_vslf,
+    make_dataset,
+)
+from iris_tpu.pipeline.config import add_model_specific_args
+from iris_tpu.train.checkpoint import load_pytree, save_pytree
+from iris_tpu.train.loop import run_training
+from iris_tpu.train.optim import make_optimizer
+from iris_tpu.train.steps import LossConfig, make_train_emitter_loss
+
+
+def main(argv=None):
+    parser = add_model_specific_args(ArgumentParser())
+    parser.add_argument("--experiment_name", type=str, required=True)
+    parser.add_argument("--max_steps", type=int, default=2000)
+    parser.add_argument("--checkpoint_path", type=str,
+                        default="./checkpoints")
+    parser.add_argument("--resume", action="store_true")
+    parser.add_argument("--val_frame", type=int, default=0)
+    args = parser.parse_args(argv)
+
+    ds_name, ds_root = args.dataset
+    scene_id = args.scene if ds_name == "scannetpp" else ""
+    mesh, tracer = load_scene(ds_name, ds_root, scene_id)
+    slf, _ = load_vslf(args.voxel_path)
+    em = load_emitter(args.emitter_path, mesh, slf=slf)
+    crf = init_emor_crf(dim=args.crf_basis)
+
+    material = build_material(args, float(slf.voxel_min),
+                              float(slf.voxel_max))
+    assert args.ckpt_path, "train_emitter needs --ckpt_path (material+CRF)"
+    prev = load_pytree(args.ckpt_path)
+    material = prev["material"]
+    if "crf_weight" in prev:
+        crf = dc_replace(crf, weight=jnp.asarray(prev["crf_weight"]))
+
+    params = {"radiance": em.radiance}
+    out = ckpt_path(args.checkpoint_path, args.experiment_name,
+                    "emitter_last.pkl")
+    if args.resume and os.path.exists(out):
+        params = load_pytree(out)
+
+    dataset = make_dataset(args, "train")
+    bank = dataset.pixel_bank(keys=("rays", "rgbs"))
+    batcher = RayBatcher(bank, args.batch_size)
+
+    cfg = LossConfig(spp=args.spp,
+                     n_spp_rounds=max(args.SPP // args.spp, 1))
+    loss_fn = make_train_emitter_loss(tracer, em, material, crf, cfg)
+    optimizer = make_optimizer(args.learning_rate, args.weight_decay,
+                               tuple(args.milestones), args.scheduler_rate,
+                               args.optimizer)
+    t0 = time.time()
+    params = run_training(loss_fn, params, iter(batcher), optimizer,
+                          args.max_steps, jax.random.PRNGKey(0),
+                          mesh=data_mesh(args.n_devices))
+    save_pytree(out, jax.device_get(params))
+    print(f"[train - emitter] time (s): {time.time() - t0:.1f}")
+    print("[train_emitter] saved", out)
+
+
+if __name__ == "__main__":
+    main()
