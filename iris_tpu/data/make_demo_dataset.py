@@ -1,0 +1,183 @@
+"""Generate a miniature FIPT-synthetic-layout dataset from the procedural
+box scene, rendered by our own integrator with a known ground-truth BRDF,
+emitter, and CRF.
+
+Purpose: hermetic end-to-end pipeline tests and demos — the 9-stage pipeline
+(slf_bake -> ... -> render) runs on this without any external data, and
+recovery can be checked against the known GT (the role BASELINE.json's
+config[0] plays).
+
+Layout written (matches utils/dataset/synthetic_ldr.py expectations):
+  root/scene.obj
+  root/{split}/transforms.json
+  root/{split}/Image/{i:03d}_0001.exr        HDR renders
+  root/{split}/{IMG_DIR}/{i:03d}_0001.png    LDR via GT CRF
+  root/{split}/{IMG_DIR}/cam/{exposure,crf}.npy
+  root/{split}/{IMG_DIR}/albedo/{i:03d}_0001.png   pseudo intrinsic albedo
+  root/{split}/{DiffCol,Roughness,Emit}/{i:03d}_0001.exr
+  root/{split}/IndexMA/{i:03d}_0001.exr      part segmentation
+  root/{split}/segmentation/{i:03d}.exr      semantic segmentation
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from iris_tpu.geometry.bvh import build_bvh
+from iris_tpu.geometry.intersect import ray_intersect
+from iris_tpu.geometry.procedural import make_box_scene
+from iris_tpu.models.crf import crf_forward, init_emor_crf, get_crf
+from iris_tpu.models.emitter import make_emitter
+from iris_tpu.models.slf import init_voxel_slf
+from iris_tpu.render.integrator import path_tracing
+from iris_tpu.utils.exr import write_exr
+from iris_tpu.utils.image import save_image
+
+IMG_DIR = "ldr"
+GT_RADIANCE = 10.0
+
+
+def gt_mat_fn(position):
+    """Smooth spatially-varying GT BRDF (known closed form for eval)."""
+    p = jnp.clip(position / 2.0, 0.0, 1.0)
+    albedo = jnp.stack([
+        0.2 + 0.6 * p[..., 0],
+        0.3 + 0.4 * p[..., 1],
+        0.5 - 0.3 * p[..., 2],
+    ], -1)
+    roughness = (0.4 + 0.5 * p[..., 2:3])
+    metallic = jnp.zeros_like(roughness)
+    return {"albedo": albedo, "roughness": roughness, "metallic": metallic}
+
+
+def _camera_pose(origin, lookat):
+    fwd = np.asarray(lookat, np.float64) - origin
+    fwd /= np.linalg.norm(fwd)
+    up_w = np.asarray([0.0, 0.0, 1.0])
+    right = np.cross(fwd, up_w)
+    right /= np.linalg.norm(right)
+    up = np.cross(right, fwd)
+    # blender convention: local x = left, y = up, z = forward
+    r = np.stack([-right, up, fwd], axis=-1)
+    return np.hstack([r, np.asarray(origin, np.float64).reshape(3, 1)])
+
+
+def make_dataset(root: str, img_hw=(48, 64), n_train: int = 6,
+                 n_val: int = 2, spp: int = 48, indir_depth: int = 2,
+                 seed: int = 0):
+    mesh, is_em = make_box_scene(n_clutter=4, seed=seed)
+    tracer = build_bvh(mesh.triangles())
+    n_em = int(is_em.sum())
+    slf = init_voxel_slf(np.ones((8, 8, 8), bool), -0.1, 2.1)
+    em = make_emitter(is_em, mesh.triangles(),
+                      radiance=np.full((n_em, 3), GT_RADIANCE, np.float32),
+                      slf=slf)  # zero cache: full path tracing does the work
+    crf = init_emor_crf(dim=3)  # GT CRF = mean EMoR curve
+    h, w = img_hw
+    fov_x = np.radians(70.0)
+    focal = 0.5 * w / np.tan(fov_x / 2)
+
+    # mesh export
+    os.makedirs(root, exist_ok=True)
+    with open(os.path.join(root, "scene.obj"), "w") as f:
+        for v in mesh.vertices:
+            f.write(f"v {v[0]} {v[1]} {v[2]}\n")
+        for tri in mesh.faces + 1:
+            f.write(f"f {tri[0]} {tri[1]} {tri[2]}\n")
+
+    cams_all = [
+        ((0.5, 0.5, 0.5), (1.0, 1.0, 0.45)),
+        ((1.0, 1.0, 0.3), (1.05, 1.0, 0.98)),  # looks up at the light
+        ((0.5, 1.5, 0.4), (1.0, 1.0, 0.45)),
+        ((1.5, 1.5, 0.6), (1.0, 1.0, 0.45)),
+        ((1.0, 0.3, 0.5), (1.0, 1.0, 0.45)),
+        ((0.3, 1.0, 0.45), (1.0, 1.0, 0.45)),
+        ((1.7, 1.0, 0.55), (1.0, 1.0, 0.45)),
+        ((1.0, 1.7, 0.5), (1.0, 1.0, 0.45)),
+    ]
+
+    from iris_tpu.data.rays import (
+        concat_rays, get_ray_directions_blender, get_rays_blender,
+    )
+
+    @jax.jit
+    def render(rays, key):
+        o = rays[..., :3]
+        d = rays[..., 3:6]
+        return path_tracing(key, tracer, em, gt_mat_fn, o, d,
+                            rays[..., 6:9], rays[..., 9:12], spp,
+                            indir_depth)
+
+    @jax.jit
+    def first_hit_gt(rays):
+        o, d = rays[..., :3], rays[..., 3:6]
+        pos, _, _, tri, valid = ray_intersect(tracer, o, d)
+        mat = gt_mat_fn(pos)
+        from iris_tpu.models.emitter import eval_emitter
+        emit = eval_emitter(em, pos, d, tri)[0]
+        return mat["albedo"], mat["roughness"], emit, tri, valid
+
+    splits = {"train": cams_all[:n_train],
+              "val": cams_all[n_train: n_train + n_val]}
+    for split, cams in splits.items():
+        sd = os.path.join(root, split)
+        for sub in ["Image", IMG_DIR, os.path.join(IMG_DIR, "cam"),
+                    os.path.join(IMG_DIR, "albedo"), "DiffCol", "Roughness",
+                    "Emit", "IndexMA", "segmentation"]:
+            os.makedirs(os.path.join(sd, sub), exist_ok=True)
+        frames = []
+        directions = get_ray_directions_blender(h, w, focal)
+        for i, (c, look) in enumerate(cams):
+            c2w = _camera_pose(c, look)
+            frames.append({"transform_matrix":
+                           np.vstack([c2w, [0, 0, 0, 1]]).tolist()})
+            o, d, dxdu, dydv = get_rays_blender(directions, c2w.astype(
+                np.float32), focal)
+            rays = concat_rays(o, d, dxdu, dydv)
+            hdr = np.asarray(render(jnp.asarray(rays),
+                                    jax.random.PRNGKey(100 + i)))
+            write_exr(os.path.join(sd, "Image", f"{i:03d}_0001.exr"),
+                      hdr.reshape(h, w, 3))
+            ldr = np.asarray(crf_forward(crf, jnp.asarray(hdr), 1.0))
+            save_image(ldr.reshape(h, w, 3),
+                       os.path.join(sd, IMG_DIR, f"{i:03d}_0001.png"))
+
+            alb, rough, emit, tri, valid = [
+                np.asarray(x) for x in first_hit_gt(jnp.asarray(rays))]
+            write_exr(os.path.join(sd, "DiffCol", f"{i:03d}_0001.exr"),
+                      alb.reshape(h, w, 3))
+            write_exr(os.path.join(sd, "Roughness", f"{i:03d}_0001.exr"),
+                      np.repeat(rough, 3, -1).reshape(h, w, 3))
+            write_exr(os.path.join(sd, "Emit", f"{i:03d}_0001.exr"),
+                      emit.reshape(h, w, 3))
+            # part segmentation: coarse face-id buckets
+            seg = np.where(valid, (np.maximum(tri, 0) // 12) % 16, 0)
+            seg = seg.astype(np.float32).reshape(h, w)
+            write_exr(os.path.join(sd, "IndexMA", f"{i:03d}_0001.exr"),
+                      np.repeat(seg[..., None], 3, -1))
+            write_exr(os.path.join(sd, "segmentation", f"{i:03d}.exr"),
+                      np.repeat(seg[..., None], 3, -1))
+            # pseudo intrinsic albedo = GT albedo (ideal IRISFormer)
+            save_image(alb.reshape(h, w, 3),
+                       os.path.join(sd, IMG_DIR, "albedo",
+                                    f"{i:03d}_0001.png"))
+        with open(os.path.join(sd, "transforms.json"), "w") as f:
+            json.dump({"camera_angle_x": fov_x, "frames": frames}, f)
+        np.save(os.path.join(sd, IMG_DIR, "cam", "exposure.npy"),
+                np.ones(len(cams), np.float32))
+        np.save(os.path.join(sd, IMG_DIR, "cam", "crf.npy"),
+                np.asarray(get_crf(crf), np.float32))
+    return root
+
+
+if __name__ == "__main__":
+    import sys
+
+    out = sys.argv[1] if len(sys.argv) > 1 else "/tmp/iris_demo_dataset"
+    make_dataset(out)
+    print("wrote", out)

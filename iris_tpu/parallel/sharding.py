@@ -22,7 +22,11 @@ def data_mesh(n_devices: int | None = None, devices=None) -> Mesh:
     """1-D mesh over ('data',). Prefers the default backend's devices; falls
     back to CPU devices (virtual) when more are requested than exist."""
     if devices is None:
-        devices = jax.devices()
+        default = jax.config.jax_default_device
+        if default is not None:
+            devices = jax.devices(default.platform)
+        else:
+            devices = jax.devices()
         if n_devices is not None and len(devices) < n_devices:
             cpus = jax.devices("cpu")
             if len(cpus) >= n_devices:

@@ -1,0 +1,165 @@
+"""Relighting / object insertion renderer.
+
+Parity: reference render_relight.py — consumes the same YAML scene-dict
+schema (configs/*/relight_*.yaml, insert.yaml): a main mesh carrying the
+learned FIPT BSDF + emitter mask, plus new analytic shapes (sphere emitters,
+diffuse/conductor objects) and an optional animated disco ball. Rendering is
+our own merged-scene path tracer (render/relight.py) instead of Mitsuba.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+from argparse import ArgumentParser
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import yaml
+
+from iris_tpu.geometry.mesh import load_mesh
+from iris_tpu.models.crf import crf_forward, init_emor_crf
+from iris_tpu.pipeline.common import resolve_mesh_path
+from iris_tpu.pipeline.config import add_model_specific_args
+from iris_tpu.render.denoise import denoise_hdr
+from iris_tpu.render.relight import (
+    RelightScene, build_relight_scene, make_disco_ball, relight_path_tracing,
+)
+from iris_tpu.train.checkpoint import load_pytree
+from iris_tpu.utils.image import save_image
+from iris_tpu.utils.video import write_video
+from dataclasses import replace as dc_replace
+
+
+def shapes_from_yaml(cfg: dict, mesh_path: str):
+    """Translate the mitsuba-style YAML dict into native shape dicts.
+    Returns (shapes, max_depth, fov)."""
+    shapes = []
+    for name, item in cfg.items():
+        if not isinstance(item, dict) or "type" not in item:
+            continue
+        t = item["type"]
+        if t in ("ply", "obj"):
+            path = item.get("filename") or mesh_path
+            tris = load_mesh(path).triangles()
+            bsdf_cfg = item.get("bsdf", {})
+            # unwrap 'twosided' and find the nested bsdf
+            inner = None
+            for v in bsdf_cfg.values():
+                if isinstance(v, dict) and v.get("type"):
+                    inner = v
+            kind = (inner or bsdf_cfg).get("type", "diffuse")
+            shapes.append({"kind": "mesh", "tris": tris,
+                           "bsdf": {"type": "fipt" if kind == "fipt"
+                                    else kind}})
+        elif t == "sphere":
+            bsdf_cfg = item.get("bsdf", {"type": "diffuse"})
+            refl = bsdf_cfg.get("reflectance", {})
+            bsdf = {"type": bsdf_cfg.get("type", "diffuse"),
+                    "reflectance": refl.get("value", [0.5, 0.5, 0.5])
+                    if isinstance(refl, dict) else [0.5, 0.5, 0.5]}
+            if bsdf["type"] == "conductor":
+                bsdf["reflectance"] = [1.0, 0.86, 0.57] \
+                    if item.get("material") == "Au" else [1.0, 1.0, 1.0]
+            sh = {"kind": "sphere", "to_world": item.get("to_world", []),
+                  "bsdf": bsdf}
+            if "emitter" in item:
+                sh["emitter"] = {
+                    "radiance": item["emitter"]["radiance"]["value"]}
+            shapes.append(sh)
+    depth = cfg.get("Integrator", {}).get("max_depth", 7)
+    fov = cfg.get("PerspectiveCamera", {}).get("fov", 45)
+    return shapes, depth, fov
+
+
+def main(argv=None):
+    parser = add_model_specific_args(ArgumentParser())
+    parser.add_argument("--experiment_name", type=str, required=True)
+    parser.add_argument("--checkpoint_path", type=str,
+                        default="./checkpoints")
+    parser.add_argument("--output_path", type=str, required=True)
+    parser.add_argument("--ckpt", type=str, default="last.pkl")
+    parser.add_argument("--light_cfg", type=str, required=True)
+    parser.add_argument("--mode", type=str, default="traj",
+                        choices=["traj", "train_val"])
+    parser.add_argument("--anti_aliasing", type=int, default=1)
+    parser.add_argument("--disco", type=int, default=0)
+    parser.add_argument("--disco_position", type=float, nargs=3,
+                        default=[1.0, 1.0, 0.7])
+    parser.add_argument("--disco_radius", type=float, default=0.15)
+    parser.add_argument("--disco_T", type=float, default=120.0)
+    parser.add_argument("--n_frames", type=int, default=30)
+    parser.add_argument("--fps", type=int, default=30)
+    args = parser.parse_args(argv)
+
+    ds_name, ds_root = args.dataset
+    scene_id = args.scene if ds_name == "scannetpp" else ""
+    mesh_path = resolve_mesh_path(ds_name, ds_root, scene_id)
+
+    with open(args.light_cfg) as f:
+        cfg = yaml.safe_load(f)
+    shapes, max_depth, _ = shapes_from_yaml(cfg, mesh_path)
+
+    ckpt = load_pytree(os.path.join(args.checkpoint_path,
+                                    args.experiment_name, args.ckpt))
+    ngp = ckpt["material"]
+    crf = init_emor_crf(dim=args.crf_basis)
+    if "crf_weight" in ckpt:
+        crf = dc_replace(crf, weight=jnp.asarray(ckpt["crf_weight"]))
+
+    ez = np.load(os.path.join(args.emitter_path, "emitter.npz"))
+    is_em, em_rad = ez["is_emitter"], ez["emitter_radiance"]
+
+    from iris_tpu.pipeline.common import make_dataset
+    dataset = make_dataset(args, "train")
+    h, w = dataset.img_hw
+    aa = max(args.anti_aliasing, 1)
+
+    from iris_tpu.pipeline.render_video import trajectory_rays
+    if args.mode == "traj":
+        rays_list = trajectory_rays(dataset, max(
+            args.n_frames // max(len(dataset) - 1, 1), 1))[: args.n_frames]
+    else:
+        rays_list = [dataset.frame(i)["rays"] for i in range(len(dataset))]
+
+    os.makedirs(args.output_path, exist_ok=True)
+    frames = []
+    for i, rays in enumerate(rays_list):
+        frame_shapes = list(shapes)
+        spots = None
+        if args.disco:
+            phase = 2 * np.pi * i / args.disco_T
+            disco_shapes, spots = make_disco_ball(
+                args.disco_position, args.disco_radius,
+                light_intensity=20.0, phase=phase)
+            frame_shapes += disco_shapes
+        scene = build_relight_scene(frame_shapes, ngp=ngp,
+                                    main_is_emitter=is_em,
+                                    main_emitter_radiance=em_rad)
+        scene = dc_replace(scene, spots=spots)
+
+        render = jax.jit(functools.partial(
+            relight_path_tracing, spp=args.spp, max_depth=max_depth))
+        r = jnp.asarray(rays)
+        l = np.zeros((r.shape[0], 3), np.float32)
+        n_rounds = max(args.SPP // args.spp, 1)
+        for rd in range(n_rounds):
+            l += np.asarray(render(jax.random.fold_in(
+                jax.random.PRNGKey(i), rd), scene, r[..., :3], r[..., 3:6],
+                r[..., 6:9], r[..., 9:12]))
+        l /= n_rounds
+        img = denoise_hdr(l.reshape(h, w, 3))
+        ldr = np.asarray(crf_forward(crf, jnp.asarray(img.reshape(-1, 3)),
+                                     1.0)).reshape(h, w, 3)
+        save_image(ldr, os.path.join(args.output_path, f"{i:05d}.png"))
+        frames.append(ldr)
+        print(f"[render_relight] frame {i + 1}/{len(rays_list)}")
+
+    out = write_video(os.path.join(args.output_path, "relight.mp4"), frames,
+                      args.fps)
+    print("[render_relight] wrote", out)
+
+
+if __name__ == "__main__":
+    main()

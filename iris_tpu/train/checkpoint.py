@@ -25,9 +25,12 @@ def save_pytree(path: str, tree) -> None:
 
 
 def load_pytree(path: str):
+    import jax.numpy as jnp
+
     with open(path, "rb") as f:
         blob = pickle.load(f)
-    return jax.tree_util.tree_unflatten(blob["treedef"], blob["leaves"])
+    leaves = [jnp.asarray(x) for x in blob["leaves"]]
+    return jax.tree_util.tree_unflatten(blob["treedef"], leaves)
 
 
 def load_into(path: str, template):
