@@ -1,0 +1,141 @@
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from iris_tpu.data.datasets import RayBatcher, SyntheticDataset
+from iris_tpu.data.make_demo_dataset import make_dataset
+from iris_tpu.utils.gen_path import generate_interpolated_path, viewmatrix
+
+
+@pytest.fixture(scope="module")
+def demo_root(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("ds"))
+    make_dataset(root, img_hw=(24, 32), n_train=3, n_val=1, spp=8,
+                 indir_depth=1)
+    return root
+
+
+def test_synthetic_dataset_frames(demo_root):
+    ds = SyntheticDataset(demo_root, img_dir="ldr", split="train",
+                          load_inverse=True)
+    assert len(ds) == 3
+    fr = ds.frame(0)
+    hw = 24 * 32
+    assert fr["rays"].shape == (hw, 12)
+    assert fr["rgbs"].shape == (hw, 3)
+    assert fr["albedo"].shape == (hw, 3)
+    assert fr["segmentation"].shape == (hw,)
+    assert fr["int_albedo"].shape == (hw, 3)
+    # directions are unit-ish after normalize; differentials small
+    d = fr["rays"][:, 3:6]
+    assert np.all(np.abs(np.linalg.norm(d, axis=-1) - 1.0) < 0.5)
+    assert np.abs(fr["rays"][:, 6:12]).max() < 0.2
+
+
+def test_rays_hit_scene_and_match_gt(demo_root):
+    """First-hit GT written by the generator must agree with re-traced rays
+    through the loaded dataset (ray convention roundtrip)."""
+    from iris_tpu.data.make_demo_dataset import gt_mat_fn
+    from iris_tpu.geometry.bvh import build_bvh
+    from iris_tpu.geometry.intersect import ray_intersect
+    from iris_tpu.geometry.mesh import load_mesh
+
+    ds = SyntheticDataset(demo_root, img_dir="ldr", split="train")
+    mesh = load_mesh(os.path.join(demo_root, "scene.obj"))
+    tracer = build_bvh(mesh.triangles())
+    fr = ds.frame(1)
+    rays = jnp.asarray(fr["rays"])
+    pos, _, _, _, valid = ray_intersect(tracer, rays[:, :3], rays[:, 3:6])
+    assert np.asarray(valid).mean() > 0.95
+    alb = np.asarray(gt_mat_fn(pos)["albedo"])
+    gt = np.asarray(fr["albedo"])
+    v = np.asarray(valid)
+    assert np.abs(alb[v] - gt[v]).mean() < 0.02
+
+
+def test_pixel_bank_and_batcher(demo_root):
+    ds = SyntheticDataset(demo_root, img_dir="ldr", split="train",
+                          load_inverse=True)
+    bank = ds.pixel_bank(keys=("rays", "rgbs", "segmentation"))
+    n = 3 * 24 * 32
+    assert bank["rays"].shape == (n, 12)
+    assert bank["exposure"].shape == (n, 1)
+    b = RayBatcher(bank, 256, seed=0)
+    b0 = b.batch(0)
+    assert b0["rays"].shape == (256, 12)
+    first = b.batch(0)["rays"].copy()
+    b.resample()
+    second = b.batch(0)["rays"]
+    assert not np.allclose(first, second)
+    # multi-host striding covers disjoint halves
+    h0 = RayBatcher(bank, 256, seed=1, process_index=0, process_count=2)
+    h1 = RayBatcher(bank, 256, seed=1, process_index=1, process_count=2)
+    a0 = h0.batch(0)["rays"]
+    a1 = h1.batch(0)["rays"]
+    assert a0.shape == (128, 12) and a1.shape == (128, 12)
+    assert not np.allclose(a0, a1)
+
+
+def test_interpolated_path():
+    poses = []
+    for i, th in enumerate(np.linspace(0, np.pi, 4)):
+        pos = np.asarray([np.cos(th), np.sin(th), 0.5])
+        poses.append(viewmatrix(-pos, np.asarray([0, 0, 1.0]), pos))
+    path = generate_interpolated_path(np.stack(poses), n_interp=5)
+    assert path.shape == (15, 3, 4)
+    # rotations stay orthonormal
+    rtr = np.einsum("bij,bik->bjk", path[:, :, :3], path[:, :, :3])
+    assert np.allclose(rtr, np.eye(3)[None], atol=1e-5)
+
+
+def test_export_textures(demo_root, tmp_path):
+    from iris_tpu.geometry.mesh import load_mesh
+    from iris_tpu.models.brdf import init_ngp_brdf
+    from iris_tpu.models.hashgrid import HashGridConfig
+    from iris_tpu.utils.export import export_textures, write_obj_with_uvs
+
+    mesh = load_mesh(os.path.join(demo_root, "scene.obj"))
+    mat = init_ngp_brdf(jax.random.PRNGKey(0), -0.1, 2.1,
+                        HashGridConfig(n_levels=4, log2_table_size=8))
+    albedo, rm, uvs = export_textures(mesh, mat, texels_per_face=4)
+    assert albedo.ndim == 3 and albedo.shape[-1] == 3
+    assert np.all((albedo >= 0) & (albedo <= 1))
+    assert uvs.shape == (mesh.n_faces, 3, 2)
+    p = str(tmp_path / "scene_uv.obj")
+    write_obj_with_uvs(p, mesh, uvs)
+    assert os.path.exists(p) and os.path.exists(str(tmp_path / "scene_uv.mtl"))
+
+
+def test_fuse_segmentation(demo_root):
+    from iris_tpu.geometry.bvh import build_bvh
+    from iris_tpu.geometry.mesh import load_mesh
+    from iris_tpu.utils.fuse_segmentation import fuse_segmentation
+
+    ds = SyntheticDataset(demo_root, img_dir="ldr", split="train",
+                          load_inverse=True)
+    mesh = load_mesh(os.path.join(demo_root, "scene.obj"))
+    tracer = build_bvh(mesh.triangles())
+    labels = fuse_segmentation(tracer, mesh.n_faces, ds.frames(),
+                               n_labels=32)
+    assert labels.shape == (mesh.n_faces,)
+    assert (labels >= 0).sum() > 0
+    # observed faces must carry their own part id (seg = face//12 % 16)
+    seen = np.flatnonzero(labels >= 0)
+    expect = (seen // 12) % 16
+    agree = (labels[seen] == expect).mean()
+    assert agree > 0.9, agree
+
+
+def test_hdr2ldr_roundtrip(tmp_path, demo_root):
+    from iris_tpu.utils.hdr2ldr import convert, sample_crfs
+
+    src = os.path.join(demo_root, "train", "Image")
+    tgt = str(tmp_path / "ldr_out")
+    convert(src, tgt, sample_crfs(0))
+    assert os.path.exists(os.path.join(tgt, "cam", "exposure.npy"))
+    assert os.path.exists(os.path.join(tgt, "cam", "crf.npy"))
+    pngs = [f for f in os.listdir(tgt) if f.endswith(".png")]
+    assert len(pngs) == 3
