@@ -30,19 +30,55 @@ BIG = np.float32(3e38)
 @jax.tree_util.register_dataclass
 @dataclass
 class Tracer:
-    """Flattened BVH + triangle soup, ready for device traversal."""
+    """Flattened BVH + triangle soup, ready for device traversal.
 
-    node_min: jax.Array   # (N, 3) f32
-    node_max: jax.Array   # (N, 3) f32
-    skip: jax.Array       # (N,) i32, 1-based skip pointer, 0 = end
-    v0: jax.Array         # (P, 3) f32 triangle vertex 0 (Morton order, padded)
-    e1: jax.Array         # (P, 3) f32 edge v1-v0
-    e2: jax.Array         # (P, 3) f32 edge v2-v0
-    tri_id: jax.Array     # (P,) i32 original face index, -1 = padding
+    Layout is tuned for TPU gathers: all device-side lookups are
+    1-D-indexed rows of packed arrays (XLA lowers those to fast dynamic
+    gathers; 2-D index arrays lower to slow generic gathers).
+    """
+
+    nodes: jax.Array         # (N, 8) f32: min.xyz, max.xyz, skip(1-based), pad
+    tris: jax.Array          # (P, 12) f32: v0, e1, e2, orig_face_id, pad
+    face_normals: jax.Array  # (F, 3) f32 unit geometric normals by face id
     n_nodes: int = field(metadata=dict(static=True))
     first_leaf: int = field(metadata=dict(static=True))  # 0-based node index
     leaf_size: int = field(metadata=dict(static=True))
     n_faces: int = field(metadata=dict(static=True))     # original face count
+
+    # convenience views (host-side use)
+    @property
+    def node_min(self):
+        return self.nodes[:, 0:3]
+
+    @property
+    def node_max(self):
+        return self.nodes[:, 3:6]
+
+    @property
+    def skip(self):
+        return self.nodes[:, 6].astype(jnp_int32())
+
+    @property
+    def v0(self):
+        return self.tris[:, 0:3]
+
+    @property
+    def e1(self):
+        return self.tris[:, 3:6]
+
+    @property
+    def e2(self):
+        return self.tris[:, 6:9]
+
+    @property
+    def tri_id(self):
+        return self.tris[:, 9].astype(jnp_int32())
+
+
+def jnp_int32():
+    import jax.numpy as jnp
+
+    return jnp.int32
 
 
 def _expand_bits(x: np.ndarray) -> np.ndarray:
@@ -136,14 +172,25 @@ def build_bvh(triangles: np.ndarray, leaf_size: int = 4) -> Tracer:
 
     import jax.numpy as jnp
 
+    skip = _skip_pointers(n_nodes).astype(np.float32)
+    nodes = np.concatenate([
+        node_min, node_max, skip[:, None],
+        np.zeros((n_nodes, 1), np.float32),
+    ], axis=1)
+    tris_packed = np.concatenate([
+        v0, e1, e2, tri_id[:, None].astype(np.float32),
+        np.zeros((pad_to, 2), np.float32),
+    ], axis=1)
+
+    cr = np.cross(triangles[:, 1] - triangles[:, 0],
+                  triangles[:, 2] - triangles[:, 0])
+    face_normals = cr / np.maximum(
+        np.linalg.norm(cr, axis=-1, keepdims=True), 1e-20)
+
     return Tracer(
-        node_min=jnp.asarray(node_min),
-        node_max=jnp.asarray(node_max),
-        skip=jnp.asarray(_skip_pointers(n_nodes)),
-        v0=jnp.asarray(v0),
-        e1=jnp.asarray(e1),
-        e2=jnp.asarray(e2),
-        tri_id=jnp.asarray(tri_id),
+        nodes=jnp.asarray(nodes),
+        tris=jnp.asarray(tris_packed),
+        face_normals=jnp.asarray(face_normals.astype(np.float32)),
         n_nodes=n_nodes,
         first_leaf=first_leaf,
         leaf_size=leaf_size,

@@ -8,7 +8,11 @@ the reference's gradient policy (grads never flow through hit points).
 
 Traversal is stackless skip-pointer preorder over the complete-tree BVH
 (see bvh.py), vectorized over the full ray batch inside one
-`lax.while_loop` — fixed shapes, TPU/XLA-legal control flow.
+`lax.while_loop` — fixed shapes, TPU/XLA-legal control flow. All memory
+access is 1-D row gathers of the packed (N,8) node / (P,12) triangle
+arrays (2-D index gathers lower to slow generic XLA gathers on TPU), and
+the leaf's triangles are tested with a statically-unrolled running-min
+instead of argmin/take_along_axis.
 """
 
 from __future__ import annotations
@@ -24,8 +28,8 @@ _MT_EPS = 1e-9
 
 
 def _moller_trumbore(o, d, v0, e1, e2, eps=_MT_EPS):
-    """Batched Möller–Trumbore. Inputs broadcast over (..., K, 3) triangles
-    against (..., 1, 3) rays. Returns t, u, v, hit."""
+    """Batched Möller–Trumbore; broadcasts over matching leading axes.
+    Returns t, u, v, hit."""
     pvec = jnp.cross(d, e2)
     det = jnp.sum(e1 * pvec, axis=-1)
     inv_det = jnp.where(jnp.abs(det) > eps, 1.0 / det, 0.0)
@@ -50,75 +54,65 @@ def _slab_test(o, inv_d, bmin, bmax, t_best):
     return (thi >= jnp.maximum(tlo, 0.0)) & (tlo <= t_best)
 
 
-def ray_trace(tracer: Tracer, origins: jnp.ndarray, dirs: jnp.ndarray):
-    """Closest-hit traversal. Returns (t, u, v, packed_tri, valid) where
-    packed_tri indexes the Morton-sorted padded triangle arrays."""
+def ray_trace(tracer: Tracer, origins: jnp.ndarray, dirs: jnp.ndarray,
+              unroll: int = 4):
+    """Closest-hit traversal. Returns (t, u, v, face_id, valid) where
+    face_id is the ORIGINAL mesh face index (-1 = miss)."""
     origins = jax.lax.stop_gradient(origins)
     dirs = jax.lax.stop_gradient(dirs)
     B = origins.shape[0]
     L = tracer.leaf_size
     first_leaf = tracer.first_leaf
+    n_nodes = tracer.n_nodes
+    P = tracer.tris.shape[0]
 
     d_safe = jnp.where(jnp.abs(dirs) < 1e-12, 1e-12, dirs)
     inv_d = 1.0 / d_safe
 
-    def cond(state):
-        cur = state[0]
-        return jnp.any(cur > 0)
-
-    def body(state):
-        cur, t_best, uv_best, tri_best = state
+    def step(cur, t_best, uvi_best):
         active = cur > 0
-        node = jnp.clip(cur - 1, 0, tracer.n_nodes - 1)
-
-        bmin = tracer.node_min[node]
-        bmax = tracer.node_max[node]
-        hit_box = _slab_test(origins, inv_d, bmin, bmax, t_best) & active
-
+        node = jnp.clip(cur - 1, 0, n_nodes - 1)
+        nd = tracer.nodes[node]                       # (B, 8) one row gather
+        hit_box = _slab_test(origins, inv_d, nd[:, 0:3], nd[:, 3:6],
+                             t_best) & active
         is_leaf = node >= first_leaf
         do_leaf = hit_box & is_leaf
+        leaf_base = jnp.where(do_leaf, (node - first_leaf) * L, 0)
 
-        # test the leaf's triangles (static unrolled gather of L tris)
-        leaf_base = (node - first_leaf) * L
-        tri_idx = jnp.clip(
-            leaf_base[:, None] + jnp.arange(L, dtype=node.dtype)[None, :],
-            0, tracer.v0.shape[0] - 1,
-        )  # (B, L)
-        v0 = tracer.v0[tri_idx]
-        e1 = tracer.e1[tri_idx]
-        e2 = tracer.e2[tri_idx]
-        t, u, v, hit = _moller_trumbore(
-            origins[:, None, :], dirs[:, None, :], v0, e1, e2
-        )
-        pad = tracer.tri_id[tri_idx] < 0
-        hit = hit & ~pad & do_leaf[:, None] & (t < t_best[:, None])
-        t = jnp.where(hit, t, T_MISS)
-        k = jnp.argmin(t, axis=-1)
-        t_k = jnp.take_along_axis(t, k[:, None], axis=-1)[:, 0]
-        any_hit = jnp.take_along_axis(hit, k[:, None], axis=-1)[:, 0]
-        u_k = jnp.take_along_axis(u, k[:, None], axis=-1)[:, 0]
-        v_k = jnp.take_along_axis(v, k[:, None], axis=-1)[:, 0]
-        idx_k = jnp.take_along_axis(tri_idx, k[:, None], axis=-1)[:, 0]
-
-        upd = any_hit & (t_k < t_best)
-        t_best = jnp.where(upd, t_k, t_best)
-        uv_best = jnp.where(upd[:, None], jnp.stack([u_k, v_k], -1), uv_best)
-        tri_best = jnp.where(upd, idx_k, tri_best)
+        for k in range(L):
+            row = tracer.tris[jnp.clip(leaf_base + k, 0, P - 1)]  # (B, 12)
+            t, u, v, hit = _moller_trumbore(
+                origins, dirs, row[:, 0:3], row[:, 3:6], row[:, 6:9])
+            fid = row[:, 9]
+            hit = hit & (fid >= 0) & do_leaf & (t < t_best)
+            t_best = jnp.where(hit, t, t_best)
+            uvi_best = jnp.where(hit[:, None],
+                                 jnp.stack([u, v, fid], -1), uvi_best)
 
         descend = hit_box & ~is_leaf
-        nxt = jnp.where(descend, 2 * cur, tracer.skip[node])
+        nxt = jnp.where(descend, 2 * cur, nd[:, 6].astype(jnp.int32))
         cur = jnp.where(active, nxt, 0)
-        return cur, t_best, uv_best, tri_best
+        return cur, t_best, uvi_best
+
+    def cond(state):
+        return jnp.any(state[0] > 0)
+
+    def body(state):
+        cur, t_best, uvi_best = state
+        for _ in range(unroll):
+            cur, t_best, uvi_best = step(cur, t_best, uvi_best)
+        return cur, t_best, uvi_best
 
     state0 = (
         jnp.ones((B,), jnp.int32),
         jnp.full((B,), T_MISS, jnp.float32),
-        jnp.zeros((B, 2), jnp.float32),
-        jnp.full((B,), -1, jnp.int32),
+        jnp.concatenate([jnp.zeros((B, 2), jnp.float32),
+                         jnp.full((B, 1), -1.0, jnp.float32)], axis=1),
     )
-    cur, t, uv, tri = jax.lax.while_loop(cond, body, state0)
-    valid = tri >= 0
-    return t, uv[:, 0], uv[:, 1], tri, valid
+    cur, t, uvi = jax.lax.while_loop(cond, body, state0)
+    face = uvi[:, 2].astype(jnp.int32)
+    valid = face >= 0
+    return t, uvi[:, 0], uvi[:, 1], face, valid
 
 
 def ray_intersect(tracer: Tracer, xs: jnp.ndarray, ds: jnp.ndarray):
@@ -130,17 +124,26 @@ def ray_intersect(tracer: Tracer, xs: jnp.ndarray, ds: jnp.ndarray):
         positions (B,3), normals (B,3) unit & viewer-facing, uvs (B,2),
         idx (B,) original face index (-1 = miss), valid (B,) bool.
     """
-    t, u, v, packed, valid = ray_trace(tracer, xs, ds)
-    safe = jnp.clip(packed, 0, tracer.v0.shape[0] - 1)
-    e1 = tracer.e1[safe]
-    e2 = tracer.e2[safe]
-    n = normalize(jnp.cross(e1, e2))
+    t, u, v, face, valid = ray_trace(tracer, xs, ds)
+    # geometric normal from the original face id requires the packed row of
+    # that face: build an id -> packed-row map once per tracer (host side it
+    # is the inverse Morton permutation; here recover via gather of tris by
+    # searching is avoided — we store normals per packed row and look up by
+    # face through the permutation captured at build time).
+    n = _face_normal(tracer, face, valid)
     n = double_sided(-ds, n)
     n = jnp.where(valid[:, None], n, 0.0)
     pos = jnp.where(valid[:, None], xs + t[:, None] * ds, 0.0)
-    idx = jnp.where(valid, tracer.tri_id[safe], -1)
     uv = jnp.where(valid[:, None], jnp.stack([u, v], -1), 0.0)
+    idx = jnp.where(valid, face, -1)
     return pos, n, uv, idx, valid
+
+
+def _face_normal(tracer: Tracer, face: jnp.ndarray, valid: jnp.ndarray):
+    """Unit geometric normal per original face id (gather from the
+    precomputed per-face normal table)."""
+    safe = jnp.clip(face, 0, tracer.face_normals.shape[0] - 1)
+    return tracer.face_normals[safe]
 
 
 def ray_intersect_brute(triangles: jnp.ndarray, xs: jnp.ndarray, ds: jnp.ndarray):
