@@ -37,13 +37,17 @@ class Tracer:
     gathers; 2-D index arrays lower to slow generic gathers).
     """
 
-    nodes: jax.Array         # (N, 8) f32: min.xyz, max.xyz, skip(1-based), pad
+    nodes: jax.Array         # (N, 8) f32: min.xyz, max.xyz, skip, desc
     tris: jax.Array          # (P, 12) f32: v0, e1, e2, orig_face_id, pad
     face_normals: jax.Array  # (F, 3) f32 unit geometric normals by face id
     n_nodes: int = field(metadata=dict(static=True))
-    first_leaf: int = field(metadata=dict(static=True))  # 0-based node index
     leaf_size: int = field(metadata=dict(static=True))
     n_faces: int = field(metadata=dict(static=True))     # original face count
+    # nodes[:,6] skip: next 1-based node in preorder after this subtree,
+    #                  0 = traversal done.
+    # nodes[:,7] desc: >=1 -> internal, value is the 1-based first child;
+    #                  <=0 -> leaf, -desc is the first padded-triangle row
+    #                  (leaf_size consecutive rows are tested).
 
     # convenience views (host-side use)
     @property
@@ -118,11 +122,40 @@ def _skip_pointers(n_nodes: int) -> np.ndarray:
     return out.astype(np.int32)
 
 
-def build_bvh(triangles: np.ndarray, leaf_size: int = 4) -> Tracer:
-    """Build the flat BVH from (F, 3, 3) triangle vertices."""
+def build_bvh(triangles: np.ndarray, leaf_size: int = 4,
+              method: str = "auto") -> Tracer:
+    """Build the flat BVH from (F, 3, 3) triangle vertices.
+
+    method: 'auto' prefers the native C++ binned-SAH builder (csrc/) —
+    better tree quality -> fewer traversal steps — and falls back to the
+    vectorized Morton median-split builder; 'morton' / 'sah' force one.
+    """
     triangles = np.asarray(triangles, dtype=np.float32)
     n_faces = triangles.shape[0]
     assert n_faces > 0, "empty mesh"
+
+    if method in ("auto", "sah"):
+        from iris_tpu.geometry.bvh_native import build_sah_arrays
+
+        built = build_sah_arrays(triangles, leaf_size)
+        if built is not None:
+            import jax.numpy as jnp
+
+            nodes_np, tris_np = built
+            cr = np.cross(triangles[:, 1] - triangles[:, 0],
+                          triangles[:, 2] - triangles[:, 0])
+            fn = cr / np.maximum(
+                np.linalg.norm(cr, axis=-1, keepdims=True), 1e-20)
+            return Tracer(
+                nodes=jnp.asarray(nodes_np),
+                tris=jnp.asarray(tris_np),
+                face_normals=jnp.asarray(fn.astype(np.float32)),
+                n_nodes=int(nodes_np.shape[0]),
+                leaf_size=leaf_size,
+                n_faces=n_faces,
+            )
+        if method == "sah":
+            raise RuntimeError("native SAH builder unavailable")
 
     centroid = triangles.mean(axis=1)
     lo, hi = centroid.min(0), centroid.max(0)
@@ -173,9 +206,12 @@ def build_bvh(triangles: np.ndarray, leaf_size: int = 4) -> Tracer:
     import jax.numpy as jnp
 
     skip = _skip_pointers(n_nodes).astype(np.float32)
+    idx0 = np.arange(n_nodes)
+    desc = np.where(idx0 >= first_leaf,
+                    -((idx0 - first_leaf) * leaf_size).astype(np.float32),
+                    (2 * (idx0 + 1)).astype(np.float32))
     nodes = np.concatenate([
-        node_min, node_max, skip[:, None],
-        np.zeros((n_nodes, 1), np.float32),
+        node_min, node_max, skip[:, None], desc[:, None],
     ], axis=1)
     tris_packed = np.concatenate([
         v0, e1, e2, tri_id[:, None].astype(np.float32),
@@ -192,7 +228,6 @@ def build_bvh(triangles: np.ndarray, leaf_size: int = 4) -> Tracer:
         tris=jnp.asarray(tris_packed),
         face_normals=jnp.asarray(face_normals.astype(np.float32)),
         n_nodes=n_nodes,
-        first_leaf=first_leaf,
         leaf_size=leaf_size,
         n_faces=n_faces,
     )

@@ -62,7 +62,6 @@ def ray_trace(tracer: Tracer, origins: jnp.ndarray, dirs: jnp.ndarray,
     dirs = jax.lax.stop_gradient(dirs)
     B = origins.shape[0]
     L = tracer.leaf_size
-    first_leaf = tracer.first_leaf
     n_nodes = tracer.n_nodes
     P = tracer.tris.shape[0]
 
@@ -75,9 +74,10 @@ def ray_trace(tracer: Tracer, origins: jnp.ndarray, dirs: jnp.ndarray,
         nd = tracer.nodes[node]                       # (B, 8) one row gather
         hit_box = _slab_test(origins, inv_d, nd[:, 0:3], nd[:, 3:6],
                              t_best) & active
-        is_leaf = node >= first_leaf
+        desc = nd[:, 7]
+        is_leaf = desc <= 0
         do_leaf = hit_box & is_leaf
-        leaf_base = jnp.where(do_leaf, (node - first_leaf) * L, 0)
+        leaf_base = jnp.where(do_leaf, (-desc).astype(jnp.int32), 0)
 
         for k in range(L):
             row = tracer.tris[jnp.clip(leaf_base + k, 0, P - 1)]  # (B, 12)
@@ -90,7 +90,8 @@ def ray_trace(tracer: Tracer, origins: jnp.ndarray, dirs: jnp.ndarray,
                                  jnp.stack([u, v, fid], -1), uvi_best)
 
         descend = hit_box & ~is_leaf
-        nxt = jnp.where(descend, 2 * cur, nd[:, 6].astype(jnp.int32))
+        nxt = jnp.where(descend, desc.astype(jnp.int32),
+                        nd[:, 6].astype(jnp.int32))
         cur = jnp.where(active, nxt, 0)
         return cur, t_best, uvi_best
 
