@@ -338,17 +338,39 @@ def load_dataset(dataset: str, path: str, scene: str = "", **kw):
     raise ValueError(f"unknown dataset type {dataset}")
 
 
+def sort_rays_spatially(rays: np.ndarray, n_buckets: int = 1 << 10):
+    """Order indices so nearby/parallel rays are adjacent: sort by direction
+    octant then origin Morton code. Restores tile coherence for the union
+    traversal after random permutation batching."""
+    from iris_tpu.geometry.bvh import morton3d
+
+    o, d = rays[:, 0:3], rays[:, 3:6]
+    octant = ((d[:, 0] > 0).astype(np.int64) * 4
+              + (d[:, 1] > 0).astype(np.int64) * 2
+              + (d[:, 2] > 0).astype(np.int64))
+    lo, hi = o.min(0), o.max(0)
+    m = morton3d((o - lo) / np.maximum(hi - lo, 1e-9)).astype(np.int64)
+    key = octant * (1 << 48) + (m >> np.int64(15))
+    return np.argsort(key, kind="stable")
+
+
 class RayBatcher:
     """Permutation pixel batching with per-epoch resample and per-host
-    striding (replaces InvDataset.resample + DataLoader)."""
+    striding (replaces InvDataset.resample + DataLoader).
+
+    sort_batches=True spatially re-orders each batch (direction octant +
+    origin Morton) — loss-invariant, but keeps the tiled union traversal
+    coherent despite random pixel sampling."""
 
     def __init__(self, bank: dict, batch_size: int, seed: int = 0,
-                 process_index: int = 0, process_count: int = 1):
+                 process_index: int = 0, process_count: int = 1,
+                 sort_batches: bool = True):
         self.bank = bank
         self.n = len(next(iter(bank.values())))
         self.batch_size = batch_size
         self.rng = np.random.default_rng(seed)
         self.pi, self.pc = process_index, process_count
+        self.sort_batches = sort_batches
         self.resample()
 
     def resample(self):
@@ -364,6 +386,9 @@ class RayBatcher:
         sel = self.idxs[b0 + self.pi * per_host: b0 + (self.pi + 1) * per_host]
         if len(sel) < per_host:  # wrap the epoch tail
             sel = np.concatenate([sel, self.idxs[: per_host - len(sel)]])
+        if self.sort_batches and "rays" in self.bank:
+            order = sort_rays_spatially(self.bank["rays"][sel])
+            sel = sel[order]
         return {k: v[sel] for k, v in self.bank.items()}
 
     def __iter__(self):

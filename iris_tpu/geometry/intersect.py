@@ -211,8 +211,139 @@ def ray_trace_tiled(tracer: Tracer, origins: jnp.ndarray, dirs: jnp.ndarray,
     return t, uvi[:, 0], uvi[:, 1], face, valid
 
 
+def ray_trace_tiled_ordered(tracer: Tracer, origins: jnp.ndarray,
+                            dirs: jnp.ndarray, tile: int = 1024,
+                            stack_depth: int = 64):
+    """Union traversal with a per-tile stack and near-child-first ordering.
+
+    Like ray_trace_tiled, but instead of the fixed preorder walk each tile
+    keeps a small explicit stack and descends into the child whose box the
+    tile's rays hit nearer on average — closest hits are found earlier and
+    t-pruning culls far subtrees, cutting union path length on large trees.
+    Stack state is (n_tiles, depth): all gathers stay per-tile.
+    """
+    origins = jax.lax.stop_gradient(origins)
+    dirs = jax.lax.stop_gradient(dirs)
+    B = origins.shape[0]
+    L = tracer.leaf_size
+    n_nodes = tracer.n_nodes
+    P = tracer.tris.shape[0]
+
+    pad = (-B) % tile
+    if pad:
+        origins = jnp.concatenate([origins, jnp.zeros((pad, 3))], 0)
+        dirs = jnp.concatenate(
+            [dirs, jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0]),
+                                    (pad, 3))], 0)
+    nt = (B + pad) // tile
+    o = origins.reshape(nt, tile, 3)
+    d = dirs.reshape(nt, tile, 3)
+    d_safe = jnp.where(jnp.abs(d) < 1e-12, 1e-12, d)
+    inv_d = 1.0 / d_safe
+
+    def box_hit(nd, t_best):
+        bmin = nd[:, None, 0:3]
+        bmax = nd[:, None, 3:6]
+        t0 = (bmin - o) * inv_d
+        t1 = (bmax - o) * inv_d
+        tlo = jnp.max(jnp.minimum(t0, t1), axis=-1)
+        thi = jnp.min(jnp.maximum(t0, t1), axis=-1)
+        hit = (thi >= jnp.maximum(tlo, 0.0)) & (tlo <= t_best)
+        return hit, jnp.where(hit, tlo, T_MISS)
+
+    def step(state):
+        stack, sp, t_best, uvi_best = state
+        alive = sp > 0
+        sp_new = jnp.maximum(sp - 1, 0)
+        node0 = stack[jnp.arange(nt), sp_new]          # (nt,) popped (0-based)
+        node = jnp.clip(node0, 0, n_nodes - 1)
+        nd = tracer.nodes[node]
+        desc = nd[:, 7]
+        is_leaf = desc <= 0
+        # pop-time pruning: skip subtrees now beyond every lane's t_best
+        pop_hit, _ = box_hit(nd, t_best)
+        active = alive & jnp.any(pop_hit, axis=-1)
+
+        # leaf processing
+        do_leaf = active & is_leaf
+        leaf_base = jnp.where(do_leaf, (-desc).astype(jnp.int32), 0)
+        for k in range(L):
+            row = tracer.tris[jnp.clip(leaf_base + k, 0, P - 1)]
+            t, u, v, hit = _moller_trumbore(
+                o, d, row[:, None, 0:3], row[:, None, 3:6],
+                row[:, None, 6:9])
+            fid = row[:, 9]
+            hit = hit & (fid >= 0)[:, None] & do_leaf[:, None] & (t < t_best)
+            t_best = jnp.where(hit, t, t_best)
+            uvi_best = jnp.where(
+                hit[..., None],
+                jnp.stack([u, v, jnp.broadcast_to(fid[:, None], u.shape)],
+                          -1),
+                uvi_best)
+
+        # internal: test children, push far then near among those hit
+        child_l = jnp.clip(desc.astype(jnp.int32) - 1, 0, n_nodes - 1)
+        # right sibling = left child's skip pointer (preorder invariant)
+        child_r = jnp.clip(
+            tracer.nodes[child_l][:, 6].astype(jnp.int32) - 1,
+            0, n_nodes - 1)
+        do_int = active & ~is_leaf
+        hit_l, tlo_l = box_hit(tracer.nodes[child_l], t_best)
+        hit_r, tlo_r = box_hit(tracer.nodes[child_r], t_best)
+        nl = jnp.sum(hit_l & do_int[:, None], axis=-1)
+        nr = jnp.sum(hit_r & do_int[:, None], axis=-1)
+        any_l = (nl > 0)
+        any_r = (nr > 0)
+        # near = child hit by more lanes at smaller mean entry t
+        mean_l = jnp.sum(jnp.where(hit_l, tlo_l, 0.0), -1) / jnp.maximum(
+            nl, 1)
+        mean_r = jnp.sum(jnp.where(hit_r, tlo_r, 0.0), -1) / jnp.maximum(
+            nr, 1)
+        l_near = jnp.where(any_l & any_r, mean_l <= mean_r, any_l)
+
+        far = jnp.where(l_near, child_r, child_l)
+        near = jnp.where(l_near, child_l, child_r)
+        far_ok = do_int & any_l & any_r
+        near_ok = do_int & (any_l | any_r)
+
+        idx = jnp.arange(nt)
+        sp1 = sp_new
+        stack = stack.at[idx, jnp.minimum(sp1, stack_depth - 1)].set(
+            jnp.where(far_ok, far, stack[idx, jnp.minimum(sp1,
+                                                          stack_depth - 1)]))
+        sp1 = sp1 + far_ok.astype(jnp.int32)
+        stack = stack.at[idx, jnp.minimum(sp1, stack_depth - 1)].set(
+            jnp.where(near_ok, near, stack[idx, jnp.minimum(
+                sp1, stack_depth - 1)]))
+        sp1 = sp1 + near_ok.astype(jnp.int32)
+        return stack, sp1, t_best, uvi_best
+
+    def cond(state):
+        return jnp.any(state[1] > 0)
+
+    def body(state):
+        for _ in range(2):
+            state = step(state)
+        return state
+
+    stack0 = jnp.zeros((nt, stack_depth), jnp.int32)
+    state0 = (
+        stack0,
+        jnp.ones((nt,), jnp.int32),     # stack holds root (0-based node 0)
+        jnp.full((nt, tile), T_MISS, jnp.float32),
+        jnp.concatenate([jnp.zeros((nt, tile, 2), jnp.float32),
+                         jnp.full((nt, tile, 1), -1.0, jnp.float32)], -1),
+    )
+    _, _, t, uvi = jax.lax.while_loop(cond, body, state0)
+    t = t.reshape(-1)[:B]
+    uvi = uvi.reshape(-1, 3)[:B]
+    face = uvi[:, 2].astype(jnp.int32)
+    valid = face >= 0
+    return t, uvi[:, 0], uvi[:, 1], face, valid
+
+
 def ray_intersect(tracer: Tracer, xs: jnp.ndarray, ds: jnp.ndarray,
-                  tile: int | None = 256):
+                  tile: int | None = 1024):
     """Reference-parity wrapper (utils/path_tracing.py:17-48).
 
     Args:

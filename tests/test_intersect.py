@@ -76,3 +76,21 @@ def test_normals_are_viewer_facing():
     p, n, uv, i, v = ray_intersect(tracer, jnp.asarray(o), jnp.asarray(d))
     nov = np.sum(np.asarray(n) * -np.asarray(d), axis=-1)
     assert np.all(nov[np.asarray(v)] > 0)
+
+
+def test_ordered_tiled_matches_brute():
+    from iris_tpu.geometry.intersect import ray_trace_tiled_ordered
+    mesh, _ = make_box_scene(n_clutter=6, seed=0)
+    tris = mesh.triangles()
+    tracer = build_bvh(tris)
+    o, d = random_rays(512, seed=5)
+    t, u, v, face, valid = ray_trace_tiled_ordered(
+        tracer, jnp.asarray(o), jnp.asarray(d), tile=128, stack_depth=32)
+    p2, n2, uv2, i2, v2 = ray_intersect_brute(
+        jnp.asarray(tris), jnp.asarray(o), jnp.asarray(d))
+    assert np.array_equal(np.asarray(valid), np.asarray(v2))
+    pv = np.asarray(valid)
+    p1 = np.asarray(o) + np.asarray(t)[:, None] * np.asarray(d)
+    assert np.allclose(p1[pv], np.asarray(p2)[pv], atol=1e-3)
+    same = (np.asarray(face) == np.asarray(i2))[pv]
+    assert same.mean() > 0.99
