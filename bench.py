@@ -76,7 +76,6 @@ def main():
 
     rays_per_s = b * SPP / dt
 
-    baseline = 1.0
     base_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                              "BASELINE_BENCH.json")
     vs = 1.0
@@ -84,6 +83,15 @@ def main():
         with open(base_path) as f:
             baseline = json.load(f).get("value", 1.0)
         vs = rays_per_s / baseline
+    else:
+        # first successful run records the round-1 baseline
+        try:
+            with open(base_path, "w") as f:
+                json.dump({"metric": "train_fwd_bwd_rays_per_s",
+                           "value": round(rays_per_s, 1),
+                           "unit": "rays/s/chip"}, f)
+        except OSError:
+            pass
 
     print(json.dumps({
         "metric": "train_fwd_bwd_rays_per_s",

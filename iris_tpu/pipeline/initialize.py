@@ -71,10 +71,25 @@ def main(argv=None):
                                tuple(args.milestones), args.scheduler_rate,
                                args.optimizer)
     mesh_dev = data_mesh(args.n_devices)
+
+    from iris_tpu.train.validation import ScalarLogger, make_validation_hook
+    hooks = [ScalarLogger(os.path.join("outputs", args.experiment_name,
+                                       "train_log.jsonl"))]
+    try:
+        val_ds = make_dataset(args, "val")
+        vb = val_ds.frame(min(args.val_frame, len(val_ds) - 1))
+        hooks.append(make_validation_hook(
+            tracer, em, crf, vb, val_ds.img_hw,
+            os.path.join("outputs", args.experiment_name, args.dir_val),
+            val_step=args.val_step, spp=args.spp,
+            indir_depth=args.indir_depth, crf_gt=val_ds.crfs))
+    except Exception as e:  # val split optional
+        print("[initialize] no validation split:", e)
+
     t0 = time.time()
     params = run_training(loss_fn, params, iter(batcher), optimizer,
                           args.max_steps, jax.random.PRNGKey(0),
-                          mesh=mesh_dev)
+                          mesh=mesh_dev, hooks=hooks)
     save_pytree(out, jax.device_get(params))
     print(f"[train - BRDF-emission] time (s): {time.time() - t0:.1f}")
     print("[initialize] saved", out)

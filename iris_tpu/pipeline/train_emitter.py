@@ -69,10 +69,13 @@ def main(argv=None):
     optimizer = make_optimizer(args.learning_rate, args.weight_decay,
                                tuple(args.milestones), args.scheduler_rate,
                                args.optimizer)
+    from iris_tpu.train.validation import ScalarLogger
+    hooks = [ScalarLogger(os.path.join("outputs", args.experiment_name,
+                                       "train_log.jsonl"))]
     t0 = time.time()
     params = run_training(loss_fn, params, iter(batcher), optimizer,
                           args.max_steps, jax.random.PRNGKey(0),
-                          mesh=data_mesh(args.n_devices))
+                          mesh=data_mesh(args.n_devices), hooks=hooks)
     save_pytree(out, jax.device_get(params))
     print(f"[train - emitter] time (s): {time.time() - t0:.1f}")
     print("[train_emitter] saved", out)

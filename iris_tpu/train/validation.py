@@ -1,0 +1,97 @@
+"""Inline validation hook for the trainers (observability parity).
+
+The reference renders a validation frame every `val_step` steps inside
+training (train_brdf_crf.py:331-453: path_tracing_single + path_tracing
+renders, material AOVs, denoise, CRF plots, PNG dumps). This module
+provides the same as a training-loop hook, plus JSONL scalar logging in
+place of Lightning's self.log.
+"""
+
+from __future__ import annotations
+
+import functools
+import json
+import os
+import time
+from dataclasses import replace as dc_replace
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from iris_tpu.core.vecmath import normalize
+from iris_tpu.models.brdf import ngp_brdf_apply
+from iris_tpu.models.crf import crf_forward, get_crf
+from iris_tpu.render.denoise import denoise_hdr
+from iris_tpu.render.integrator import path_tracing, path_tracing_single
+from iris_tpu.utils.image import save_image
+from iris_tpu.utils.metric_crf import plot_crfs
+
+
+class ScalarLogger:
+    """Append-only JSONL scalar log (role of Lightning self.log)."""
+
+    def __init__(self, path: str):
+        os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+        self.path = path
+        self.t0 = time.time()
+
+    def __call__(self, step: int, params, loss, aux):
+        rec = {"step": int(step), "loss": float(loss),
+               "wall_s": round(time.time() - self.t0, 2)}
+        for k, v in (aux or {}).items():
+            rec[k] = float(v)
+        with open(self.path, "a") as f:
+            f.write(json.dumps(rec) + "\n")
+
+
+def make_validation_hook(
+    tracer, em_template, crf_template, val_batch, img_hw,
+    out_dir: str, val_step: int = 250, spp: int = 8, indir_depth: int = 5,
+    crf_gt=None,
+):
+    """Hook(step, params, loss, aux): every val_step, render the validation
+    frame with both integrators from the CURRENT params, dump PNGs + CRF
+    plot. Accepts params dicts containing any of material / radiance /
+    crf_weight."""
+    os.makedirs(out_dir, exist_ok=True)
+    rays = jnp.asarray(val_batch["rays"])
+    xs, ds = rays[..., :3], normalize(rays[..., 3:6])
+    dxdu, dydv = rays[..., 6:9], rays[..., 9:12]
+    h, w = img_hw
+
+    @jax.jit
+    def render(params, key):
+        em = em_template
+        if "radiance" in params:
+            em = dc_replace(em, radiance=params["radiance"])
+        crf = crf_template
+        if "crf_weight" in params:
+            crf = dc_replace(crf, weight=params["crf_weight"])
+        mat_fn = functools.partial(ngp_brdf_apply, params["material"])
+        l_train = path_tracing_single(key, tracer, em, mat_fn, xs, ds,
+                                      dxdu, dydv, spp)
+        l_full = path_tracing(jax.random.fold_in(key, 1), tracer, em,
+                              mat_fn, xs, ds, dxdu, dydv, spp, indir_depth)
+        return l_train, l_full, get_crf(crf)
+
+    def hook(step, params, loss, aux):
+        if step % val_step != 0:
+            return
+        l_train, l_full, crf_curves = render(params,
+                                             jax.random.PRNGKey(step))
+        crf = dc_replace(crf_template, weight=jnp.asarray(
+            params["crf_weight"])) if "crf_weight" in params else crf_template
+        for name, img in [("L_train", l_train), ("L_full", l_full)]:
+            hdr = denoise_hdr(np.asarray(img).reshape(h, w, 3))
+            ldr = np.asarray(crf_forward(
+                crf, jnp.asarray(hdr.reshape(-1, 3)),
+                val_batch.get("exposure", 1.0) or 1.0)).reshape(h, w, 3)
+            save_image(ldr, os.path.join(out_dir,
+                                         f"{step:05d}_{name}.png"))
+        save_image(np.asarray(val_batch["rgbs"]).reshape(h, w, 3),
+                   os.path.join(out_dir, f"{step:05d}_L_gt.png"))
+        plot_crfs(np.asarray(crf_curves), crf_gt,
+                  os.path.join(out_dir, f"{step:05d}_crfs.png"))
+
+    return hook
