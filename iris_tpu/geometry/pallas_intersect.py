@@ -1,0 +1,189 @@
+"""Pallas TPU kernel for the tiled union BVH traversal.
+
+Same algorithm as geometry/intersect.ray_trace_tiled — one traversal cursor
+per tile of rays, walking the union of the tile's BVH paths — but fused
+into a single Mosaic kernel: the cursor is a scalar loop carry, node and
+leaf rows are scalar-indexed VMEM slices, and every lane op is a (1, TILE)
+vector on the VPU. This removes the XLA while-loop per-iteration overhead
+and the (n_tiles,) gathers of the XLA formulation.
+
+v1 keeps the whole BVH resident in VMEM (nodes + padded tris <= ~12 MB,
+i.e. meshes up to roughly 150K faces); larger scenes fall back to the XLA
+path (geometry/intersect.py). HBM-streaming nodes via scalar-indexed DMA is
+the planned extension for bigger meshes.
+
+Layout contract shared with bvh.py: nodes (N, 8) = [min, max, skip, desc],
+tris (P, 12) = [v0, e1, e2, face_id, pad].
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from iris_tpu.geometry.bvh import Tracer
+
+T_MISS = 3e37
+_MT_EPS = 1e-9
+
+
+def _kernel(rays_ref, nodes_ref, tris_ref, out_ref, *, leaf_size: int,
+            n_nodes: int):
+    ox = rays_ref[0:1, :]
+    oy = rays_ref[1:2, :]
+    oz = rays_ref[2:3, :]
+    dx = rays_ref[3:4, :]
+    dy = rays_ref[4:5, :]
+    dz = rays_ref[5:6, :]
+
+    def safe(v):
+        return jnp.where(jnp.abs(v) < 1e-12, 1e-12, v)
+
+    ix = 1.0 / safe(dx)
+    iy = 1.0 / safe(dy)
+    iz = 1.0 / safe(dz)
+
+    def slab(n0, n1, n2, n3, n4, n5, t_best):
+        tx0 = (n0 - ox) * ix
+        tx1 = (n3 - ox) * ix
+        ty0 = (n1 - oy) * iy
+        ty1 = (n4 - oy) * iy
+        tz0 = (n2 - oz) * iz
+        tz1 = (n5 - oz) * iz
+        tlo = jnp.maximum(jnp.maximum(jnp.minimum(tx0, tx1),
+                                      jnp.minimum(ty0, ty1)),
+                          jnp.minimum(tz0, tz1))
+        thi = jnp.minimum(jnp.minimum(jnp.maximum(tx0, tx1),
+                                      jnp.maximum(ty0, ty1)),
+                          jnp.maximum(tz0, tz1))
+        return (thi >= jnp.maximum(tlo, 0.0)) & (tlo <= t_best)
+
+    def body(state):
+        cur, t_best, u_b, v_b, f_b = state
+        node = jnp.clip(cur - 1, 0, n_nodes - 1)
+        nd = nodes_ref[pl.ds(node, 1), :]            # (1, 8)
+        hit = slab(nd[0, 0], nd[0, 1], nd[0, 2], nd[0, 3], nd[0, 4],
+                   nd[0, 5], t_best)
+        any_hit = jnp.any(hit)
+        desc = nd[0, 7]
+        is_leaf = desc <= 0.0
+
+        def leaf_case(args):
+            t_best, u_b, v_b, f_b = args
+            base = (-desc).astype(jnp.int32)
+            for k in range(leaf_size):
+                row = tris_ref[pl.ds(jnp.clip(base + k, 0,
+                                              tris_ref.shape[0] - 1), 1), :]
+                v0x, v0y, v0z = row[0, 0], row[0, 1], row[0, 2]
+                e1x, e1y, e1z = row[0, 3], row[0, 4], row[0, 5]
+                e2x, e2y, e2z = row[0, 6], row[0, 7], row[0, 8]
+                fid = row[0, 9]
+                # Moller-Trumbore with scalar triangle, vector rays
+                px = dy * e2z - dz * e2y
+                py = dz * e2x - dx * e2z
+                pz = dx * e2y - dy * e2x
+                det = e1x * px + e1y * py + e1z * pz
+                inv_det = jnp.where(jnp.abs(det) > _MT_EPS, 1.0 / det, 0.0)
+                tx = ox - v0x
+                ty = oy - v0y
+                tz = oz - v0z
+                u = (tx * px + ty * py + tz * pz) * inv_det
+                qx = ty * e1z - tz * e1y
+                qy = tz * e1x - tx * e1z
+                qz = tx * e1y - ty * e1x
+                v = (dx * qx + dy * qy + dz * qz) * inv_det
+                t = (e2x * qx + e2y * qy + e2z * qz) * inv_det
+                ok = ((jnp.abs(det) > _MT_EPS) & (u >= 0.0) & (v >= 0.0)
+                      & (u + v <= 1.0) & (t > 0.0) & (fid >= 0.0)
+                      & hit & (t < t_best))
+                t_best = jnp.where(ok, t, t_best)
+                u_b = jnp.where(ok, u, u_b)
+                v_b = jnp.where(ok, v, v_b)
+                f_b = jnp.where(ok, fid, f_b)
+            return t_best, u_b, v_b, f_b
+
+        t_best, u_b, v_b, f_b = jax.lax.cond(
+            any_hit & is_leaf, leaf_case, lambda a: a,
+            (t_best, u_b, v_b, f_b))
+
+        descend = any_hit & jnp.logical_not(is_leaf)
+        nxt = jnp.where(descend, desc, nd[0, 6]).astype(jnp.int32)
+        return nxt, t_best, u_b, v_b, f_b
+
+    def cond(state):
+        return state[0] > 0
+
+    tile = ox.shape
+    init = (
+        jnp.int32(1),
+        jnp.full(tile, T_MISS, jnp.float32),
+        jnp.zeros(tile, jnp.float32),
+        jnp.zeros(tile, jnp.float32),
+        jnp.full(tile, -1.0, jnp.float32),
+    )
+    _, t_best, u_b, v_b, f_b = jax.lax.while_loop(cond, body, init)
+    out_ref[0:1, :] = t_best
+    out_ref[1:2, :] = u_b
+    out_ref[2:3, :] = v_b
+    out_ref[3:4, :] = f_b
+
+
+@functools.partial(jax.jit, static_argnames=("tile", "interpret"))
+def pallas_ray_trace(tracer: Tracer, origins: jnp.ndarray,
+                     dirs: jnp.ndarray, tile: int = 1024,
+                     interpret: bool = False):
+    """Returns (t, u, v, face_id, valid), each (B,)."""
+    origins = jax.lax.stop_gradient(origins)
+    dirs = jax.lax.stop_gradient(dirs)
+    B = origins.shape[0]
+    pad = (-B) % tile
+    if pad:
+        origins = jnp.concatenate([origins, jnp.zeros((pad, 3))], 0)
+        dirs = jnp.concatenate(
+            [dirs, jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0]),
+                                    (pad, 3))], 0)
+    nt = (B + pad) // tile
+    # pack rays as 8 rows per tile: [ox oy oz dx dy dz 0 0]
+    o = origins.reshape(nt, tile, 3)
+    d = dirs.reshape(nt, tile, 3)
+    rays = jnp.concatenate([
+        jnp.swapaxes(o, 1, 2), jnp.swapaxes(d, 1, 2),
+        jnp.zeros((nt, 2, tile)),
+    ], axis=1).reshape(nt * 8, tile)
+
+    kernel = functools.partial(_kernel, leaf_size=tracer.leaf_size,
+                               n_nodes=tracer.n_nodes)
+    out = pl.pallas_call(
+        kernel,
+        grid=(nt,),
+        in_specs=[
+            pl.BlockSpec((8, tile), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((4, tile), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((nt * 4, tile), jnp.float32),
+        interpret=interpret,
+    )(rays, tracer.nodes, tracer.tris)
+
+    out = out.reshape(nt, 4, tile)
+    t = out[:, 0].reshape(-1)[:B]
+    u = out[:, 1].reshape(-1)[:B]
+    v = out[:, 2].reshape(-1)[:B]
+    face = out[:, 3].reshape(-1)[:B].astype(jnp.int32)
+    valid = face >= 0
+    return t, u, v, face, valid
+
+
+def vmem_bytes(tracer: Tracer) -> int:
+    return int(tracer.nodes.size + tracer.tris.size) * 4
+
+
+def pallas_available(tracer: Tracer, budget: int = 12 << 20) -> bool:
+    return vmem_bytes(tracer) <= budget

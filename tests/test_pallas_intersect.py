@@ -1,0 +1,26 @@
+"""Pallas traversal kernel vs brute force (interpreter mode on CPU)."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from iris_tpu.geometry.bvh import build_bvh
+from iris_tpu.geometry.intersect import ray_intersect_brute
+from iris_tpu.geometry.pallas_intersect import pallas_ray_trace
+from iris_tpu.geometry.procedural import make_box_scene, random_rays
+
+
+def test_pallas_kernel_matches_brute_interpret():
+    mesh, _ = make_box_scene(n_clutter=4, seed=0)
+    tris = mesh.triangles()
+    tracer = build_bvh(tris)
+    o, d = random_rays(256, seed=9)
+    t, u, v, face, valid = pallas_ray_trace(
+        tracer, jnp.asarray(o), jnp.asarray(d), tile=128, interpret=True)
+    p2, _, _, i2, v2 = ray_intersect_brute(jnp.asarray(tris),
+                                           jnp.asarray(o), jnp.asarray(d))
+    assert np.array_equal(np.asarray(valid), np.asarray(v2))
+    pv = np.asarray(valid)
+    p1 = np.asarray(o) + np.asarray(t)[:, None] * np.asarray(d)
+    assert np.allclose(p1[pv], np.asarray(p2)[pv], atol=1e-3)
+    same = (np.asarray(face) == np.asarray(i2))[pv]
+    assert same.mean() > 0.99
