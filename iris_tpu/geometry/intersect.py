@@ -354,7 +354,7 @@ def ray_intersect(tracer: Tracer, xs: jnp.ndarray, ds: jnp.ndarray,
         idx (B,) original face index (-1 = miss), valid (B,) bool.
     """
     if tile:
-        t, u, v, face, valid = ray_trace_tiled(tracer, xs, ds, tile)
+        t, u, v, face, valid = ray_trace_tiled_ordered(tracer, xs, ds, tile)
     else:
         t, u, v, face, valid = ray_trace(tracer, xs, ds)
     # geometric normal from the original face id requires the packed row of

@@ -59,79 +59,75 @@ def _mis_power2(pdf_a: jnp.ndarray, pdf_b: jnp.ndarray, clamp_denom: float
     return jnp.where(jnp.isinf(pdf_a) | (pdf_b == 0), 1.0, w)
 
 
-def _nee_direct(
+def _nee_and_bounce(
     key, tracer: Tracer, em: Emitter, mat_fn: MatFn,
     position, wo, normal, mat, active, g_clamp: float, mis_clamp: float,
+    trace_roughness: float | None,
 ):
-    """Next-event estimation with MIS (the emitter-sampling half).
+    """One bounce worth of light transport: NEE direct term (reference
+    :253-276) + BRDF-sampled term (:279-299), with the shadow ray and the
+    bounce ray fused into ONE 2N-ray traversal (same results, half the
+    traversal launches; bigger batches keep the union tiles fed).
 
-    Returns the direct-light contribution for active lanes
-    (reference :253-276)."""
+    Returns (nee_contrib, bounce_contrib, next_position, next_normal,
+    next_wo, next_mat, next_active, brdf_weight)."""
     n = position.shape[0]
-    k1, k2 = jax.random.split(key)
+    k1, k2, k3, k4 = jax.random.split(key, 4)
     s1 = jax.random.uniform(k1, (n,))
     s2 = jax.random.uniform(k2, (n, 2))
-    wi, emit_pdf, emit_tri = sample_emitter(em, s1, s2, position)
+    wi_e, emit_pdf, emit_tri = sample_emitter(em, s1, s2, position)
 
-    emit_pos, emit_nrm, _, tri, emit_valid = ray_intersect(
-        tracer, position + RAY_EPS * wi, wi
-    )
-    emit_vis = (~emit_valid) | (emit_tri == tri)
-    emit_weight, _, _ = eval_emitter(em, emit_pos, wi, tri)
+    s1b = jax.random.uniform(k3, (n,))
+    s2b = jax.random.uniform(k4, (n, 2))
+    wi_b, brdf_pdf_b, brdf_weight = B.sample_brdf(s1b, s2b, wo, normal, mat)
 
-    g = jnp.abs(dot(-wi, emit_nrm, keepdims=False)) / jnp.maximum(
+    o2 = jnp.concatenate([position + RAY_EPS * wi_e,
+                          position + RAY_EPS * wi_b], 0)
+    d2 = jnp.concatenate([wi_e, wi_b], 0)
+    pos2, nrm2, _, tri2, valid2 = ray_intersect(tracer, o2, d2)
+    emit_pos, pos_next = pos2[:n], pos2[n:]
+    emit_nrm, nrm_next = nrm2[:n], nrm2[n:]
+    tri_e, tri_b = tri2[:n], tri2[n:]
+    emit_valid, _ = valid2[:n], valid2[n:]
+
+    # ---- NEE half
+    emit_vis = (~emit_valid) | (emit_tri == tri_e)
+    emit_weight, _, _ = eval_emitter(em, emit_pos, wi_e, tri_e)
+    g = jnp.abs(dot(-wi_e, emit_nrm, keepdims=False)) / jnp.maximum(
         jnp.sum((emit_pos - position) ** 2, -1), g_clamp
     )
     g = jnp.where(emit_valid, g, 1.0)[:, None]
     emit_weight = emit_weight * emit_vis[:, None] * g / jnp.maximum(
         emit_pdf, g_clamp
     )
+    emit_brdf, nee_brdf_pdf = B.eval_brdf(wi_e, wo, normal, mat)
+    nee_brdf_pdf = nee_brdf_pdf * g
+    w_mis = _mis_power2(emit_pdf, nee_brdf_pdf, mis_clamp)
+    nee_contrib = jnp.where(active[:, None],
+                            emit_brdf * emit_weight * w_mis, 0.0)
 
-    emit_brdf, brdf_pdf = B.eval_brdf(wi, wo, normal, mat)
-    brdf_pdf = brdf_pdf * g
-    w_mis = _mis_power2(emit_pdf, brdf_pdf, mis_clamp)
-    contrib = emit_brdf * emit_weight * w_mis
-    return jnp.where(active[:, None], contrib, 0.0)
-
-
-def _brdf_bounce(
-    key, tracer: Tracer, em: Emitter, mat_fn: MatFn,
-    position, wo, normal, mat, active, g_clamp: float,
-    trace_roughness: float | None,
-):
-    """Sample the BRDF, trace, evaluate Le with MIS (reference :279-299).
-
-    Returns (contribution, next_position, next_normal, next_wo, next_mat,
-    next_active, brdf_weight)."""
-    n = position.shape[0]
-    k1, k2 = jax.random.split(key)
-    s1 = jax.random.uniform(k1, (n,))
-    s2 = jax.random.uniform(k2, (n, 2))
-    wi, brdf_pdf, brdf_weight = B.sample_brdf(s1, s2, wo, normal, mat)
-
-    pos_next, nrm_next, _, tri, _ = ray_intersect(
-        tracer, position + RAY_EPS * wi, wi
-    )
+    # ---- BRDF-sampled half
     mat_next = mat_fn(pos_next)
     if trace_roughness is None:
-        le, emit_pdf, valid_next = eval_emitter(
-            em, pos_next, wi, tri, mat_next["roughness"]
+        le, emit_pdf2, valid_next = eval_emitter(
+            em, pos_next, wi_b, tri_b, mat_next["roughness"]
         )
     else:
-        le, emit_pdf, valid_next = eval_emitter(
-            em, pos_next, wi, tri, mat_next["roughness"], trace_roughness
+        le, emit_pdf2, valid_next = eval_emitter(
+            em, pos_next, wi_b, tri_b, mat_next["roughness"],
+            trace_roughness
         )
-
-    g = jnp.abs(dot(-nrm_next, wi, keepdims=False)) / jnp.maximum(
+    g2 = jnp.abs(dot(-nrm_next, wi_b, keepdims=False)) / jnp.maximum(
         jnp.sum((position - pos_next) ** 2, -1), g_clamp
     )
-    g = jnp.where(valid_next, g, 1.0)
-    brdf_pdf = brdf_pdf * g[:, None]
-    w_mis = _mis_power2(brdf_pdf, emit_pdf, 0.0)
-    contrib = jnp.where(active[:, None], brdf_weight * le * w_mis, 0.0)
+    g2 = jnp.where(valid_next, g2, 1.0)
+    brdf_pdf_b = brdf_pdf_b * g2[:, None]
+    w_mis2 = _mis_power2(brdf_pdf_b, emit_pdf2, 0.0)
+    bounce_contrib = jnp.where(active[:, None],
+                               brdf_weight * le * w_mis2, 0.0)
     active_next = active & valid_next
-    return (contrib, pos_next, nrm_next, -wi, mat_next, active_next,
-            brdf_weight)
+    return (nee_contrib, bounce_contrib, pos_next, nrm_next, -wi_b,
+            mat_next, active_next, brdf_weight)
 
 
 def path_tracing_single(
@@ -144,7 +140,7 @@ def path_tracing_single(
     first-hit emission + MIS direct light, with the second bounce always
     falling back to the SLF radiance cache. Returns (B, 3)."""
     b = rays_o.shape[0]
-    k_jit, k_nee, k_brdf = jax.random.split(key, 3)
+    k_jit, k_b = jax.random.split(key)
     position, wi = _jitter_rays(k_jit, rays_o, rays_d, dx_du, dy_dv, spp)
 
     position, normal, _, tri, _ = ray_intersect(tracer, position, wi)
@@ -153,12 +149,10 @@ def path_tracing_single(
     wo = -wi
     mat = mat_fn(position)
 
-    l = l + _nee_direct(k_nee, tracer, em, mat_fn, position, wo, normal, mat,
-                        active, 1e-6, 1e-6)
-    contrib, *_ = _brdf_bounce(k_brdf, tracer, em, mat_fn, position, wo,
-                               normal, mat, active, 1e-6,
-                               trace_roughness=0.0)
-    l = l + contrib
+    nee, bounce, *_ = _nee_and_bounce(
+        k_b, tracer, em, mat_fn, position, wo, normal, mat, active,
+        1e-6, 1e-6, trace_roughness=0.0)
+    l = l + nee + bounce
     return l.reshape(b, spp, 3).mean(1)
 
 
@@ -178,20 +172,16 @@ def trace_indirect(
 
     def body(state, k):
         position, wo, normal, mat, throughput, active, l = state
-        k_nee, k_brdf = jax.random.split(k)
-        dl = _nee_direct(k_nee, tracer, em, mat_fn, position, wo, normal,
-                         mat, active, 1e-12, 0.0) * throughput
-        dl = jnp.where(jnp.isnan(dl), 0.0, dl)
-        l = l + dl
-
-        (contrib, pos_n, nrm_n, wo_n, mat_n, active_n, brdf_w) = _brdf_bounce(
-            k_brdf, tracer, em, mat_fn, position, wo, normal, mat, active,
-            1e-12, trace_roughness=None,
+        (nee, bounce, pos_n, nrm_n, wo_n, mat_n, active_n,
+         brdf_w) = _nee_and_bounce(
+            k, tracer, em, mat_fn, position, wo, normal, mat, active,
+            1e-12, 0.0, trace_roughness=None,
         )
+        dl = throughput * nee
+        l = l + jnp.where(jnp.isnan(dl), 0.0, dl)
         throughput_n = throughput * brdf_w
-        dl = throughput * contrib
-        dl = jnp.where(jnp.isnan(dl), 0.0, dl)
-        l = l + dl
+        dl = throughput * bounce
+        l = l + jnp.where(jnp.isnan(dl), 0.0, dl)
         return (pos_n, wo_n, nrm_n, mat_n, throughput_n, active_n, l), None
 
     keys = jax.random.split(key, indir_depth)
@@ -208,7 +198,7 @@ def path_tracing(
     """Full estimator: differentiable first bounce + no-grad indirect tail
     (reference :214-318). Returns (B, 3)."""
     b = rays_o.shape[0]
-    k_jit, k_nee, k_brdf, k_ind = jax.random.split(key, 4)
+    k_jit, k_b, k_ind = jax.random.split(key, 3)
     position, wi = _jitter_rays(k_jit, rays_o, rays_d, dx_du, dy_dv, spp)
 
     position, normal, _, tri, _ = ray_intersect(tracer, position, wi)
@@ -217,13 +207,12 @@ def path_tracing(
     wo = -wi
     mat = mat_fn(position)
 
-    l = l + _nee_direct(k_nee, tracer, em, mat_fn, position, wo, normal, mat,
-                        active, 1e-6, 0.0)
-    (contrib, pos_n, nrm_n, wo_n, mat_n, active_n, brdf_w) = _brdf_bounce(
-        k_brdf, tracer, em, mat_fn, position, wo, normal, mat, active, 1e-6,
-        trace_roughness=None,
+    (nee, bounce, pos_n, nrm_n, wo_n, mat_n, active_n,
+     brdf_w) = _nee_and_bounce(
+        k_b, tracer, em, mat_fn, position, wo, normal, mat, active,
+        1e-6, 0.0, trace_roughness=None,
     )
-    l = l + contrib
+    l = l + nee + bounce
 
     l_indir = trace_indirect(k_ind, tracer, em, mat_fn, pos_n, wo_n, nrm_n,
                              active_n, indir_depth)
