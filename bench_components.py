@@ -1,0 +1,79 @@
+"""Component benchmarks with fresh inputs per iteration (honest timings —
+see iris_tpu/utils/timing.py for why repeated-args loops lie here).
+
+Prints one JSON line per component.
+"""
+
+from __future__ import annotations
+
+import functools
+import json
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main():
+    from iris_tpu.demo import demo_mat_fn, make_demo_scene
+    from iris_tpu.geometry.intersect import ray_intersect
+    from iris_tpu.geometry.procedural import camera_rays
+    from iris_tpu.models.brdf import ngp_brdf_apply
+    from iris_tpu.models.crf import crf_forward
+    from iris_tpu.models.hashgrid import hashgrid_encode
+    from iris_tpu.render.integrator import path_tracing_single
+    from iris_tpu.utils.timing import bench_batched, bench_keyed
+
+    tracer, em, ngp, crf, _ = make_demo_scene(
+        n_clutter=32, slf_res=64, hash_levels=16, log2_table=19)
+    B, SPP = 8192, 32
+    n = B * SPP
+
+    def report(name, dt, unit_count, unit):
+        print(json.dumps({"metric": name, "value": round(unit_count / dt, 1),
+                          "unit": unit, "ms": round(dt * 1e3, 2)}),
+              flush=True)
+
+    # traversal, fresh ray sets
+    o0, d0, *_ = camera_rays(512)
+    o0, d0 = jnp.asarray(o0), jnp.asarray(d0)
+    trace = jax.jit(lambda k: ray_intersect(
+        tracer,
+        o0 + jax.random.uniform(k, (1, 3)) * 0.2,
+        d0)[3].sum())
+    dt = bench_keyed(trace, jax.random.PRNGKey(0))
+    report("traversal_rays_per_s", dt, o0.shape[0], "rays/s")
+
+    # hash-grid encode fwd, fresh positions
+    enc = jax.jit(lambda k: hashgrid_encode(
+        ngp.table, ngp.cfg, jax.random.uniform(k, (n, 3))).sum())
+    dt = bench_keyed(enc, jax.random.PRNGKey(1))
+    report("hashgrid_fwd_queries_per_s", dt, n, "queries/s")
+
+    # hash-grid fwd+bwd
+    def enc_loss(tab, k):
+        return hashgrid_encode(tab, ngp.cfg,
+                               jax.random.uniform(k, (n, 3))).sum()
+    encg = jax.jit(lambda k: jax.grad(enc_loss)(ngp.table, k)[0, 0])
+    dt = bench_keyed(encg, jax.random.PRNGKey(2))
+    report("hashgrid_fwd_bwd_queries_per_s", dt, n, "queries/s")
+
+    # full single-bounce fwd (fresh keys -> fresh jitter/samples)
+    o, d, dxdu, dydv = map(jnp.asarray, camera_rays(int(B ** 0.5)))
+    fwd = jax.jit(lambda k: path_tracing_single(
+        k, tracer, em, demo_mat_fn(ngp), o, d, dxdu, dydv, SPP).sum())
+    dt = bench_keyed(fwd, jax.random.PRNGKey(3))
+    report("pts_fwd_rays_per_s", dt, o.shape[0] * SPP, "rays/s")
+
+    # fwd+bwd
+    def loss(p, k):
+        l = path_tracing_single(k, tracer, em, demo_mat_fn(p), o, d, dxdu,
+                                dydv, SPP)
+        return jnp.mean(crf_forward(crf, l, 1.0) ** 2)
+    gradf = jax.jit(lambda k: jax.grad(loss)(ngp, k).table[0, 0])
+    dt = bench_keyed(gradf, jax.random.PRNGKey(4))
+    report("pts_fwd_bwd_rays_per_s", dt, o.shape[0] * SPP, "rays/s")
+
+
+if __name__ == "__main__":
+    main()

@@ -8,4 +8,22 @@ via differentiable path tracing. See SURVEY.md / DESIGN.md at repo root.
 
 __version__ = "0.1.0"
 
+import os as _os
+
+if not _os.environ.get("IRIS_TPU_NO_CACHE"):
+    # Persistent XLA compilation cache: first-jit of the big integrators
+    # costs minutes over this environment's remote-compile tunnel; caching
+    # makes every process after the first start instantly.
+    try:
+        import jax as _jax
+
+        _cache = _os.environ.get(
+            "IRIS_TPU_CACHE_DIR",
+            _os.path.join(_os.path.dirname(__file__), "..", ".jax_cache"))
+        _os.makedirs(_cache, exist_ok=True)
+        _jax.config.update("jax_compilation_cache_dir", _cache)
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
+    except Exception:
+        pass
+
 from iris_tpu.const import GAMMA, SEED, RAY_EPS

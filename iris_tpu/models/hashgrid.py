@@ -6,8 +6,17 @@ base resolution 16, per-level scale 1.3). Levels whose dense grid fits the
 table are indexed densely; larger levels use the standard spatial hash
 (pi1=1, pi2=2654435761, pi3=805459861).
 
-All levels share one flattened (L*T, F) table so the per-query lookup is a
-single gather of (B, L, 8, F) — XLA fuses the trilinear lerp around it.
+TPU-critical layout rules baked in (measured on v5e, see PERF.md):
+- NO narrow trailing dimensions in intermediates: XLA pads the last two
+  dims to (8,128) tiles, so (B, L, 8, 3) corner tensors or (M, 2) gather
+  results blow up 16-64x in memory traffic (or fuse into serial loops).
+  Everything here is component-wise: coordinates, weights, and the eight
+  corner index arrays are separate (B*L,)/(8, M) arrays.
+- Gathers and scatters go through FLAT 1-D indices one feature column at a
+  time: 1-D gather/scatter outputs get the unpadded T(1024) layout and run
+  at memory bandwidth (the padded 2-D forms are ~4000x slower).
+- The table cotangent is built by a custom VJP with explicit `.at[].add`
+  (JAX's automatic gather-VJP emits the pathological padded scatter).
 """
 
 from __future__ import annotations
@@ -47,47 +56,105 @@ def init_hashgrid(key: jax.Array, cfg: HashGridConfig) -> jnp.ndarray:
     return jax.random.uniform(key, shape, jnp.float32, -1e-4, 1e-4)
 
 
-def _corner_indices(cfg: HashGridConfig, cell: jnp.ndarray) -> jnp.ndarray:
-    """cell: (B, L, 8, 3) int32 lattice coords -> (B, L, 8) table indices."""
-    res_np = cfg.resolutions() + 1  # vertices per axis
-    dense_ok = jnp.asarray((res_np.astype(np.int64) ** 3) <= cfg.table_size)
-    res = jnp.asarray(res_np)
-    cx = cell[..., 0].astype(jnp.uint32)
-    cy = cell[..., 1].astype(jnp.uint32)
-    cz = cell[..., 2].astype(jnp.uint32)
-    r = res.astype(jnp.uint32)[None, :, None]
-    dense = cx + r * (cy + r * cz)
-    mask = jnp.uint32(cfg.table_size - 1)
-    hashed = (
-        cx * jnp.uint32(_PRIMES[0])
-        ^ cy * jnp.uint32(_PRIMES[1])
-        ^ cz * jnp.uint32(_PRIMES[2])
-    ) & mask
-    idx = jnp.where(dense_ok[None, :, None], dense, hashed).astype(jnp.int32)
-    level_off = (jnp.arange(cfg.n_levels, dtype=jnp.int32) * cfg.table_size)
-    return idx + level_off[None, :, None]
+@jax.custom_vjp
+def _weighted_lookup(table, idxs, weights):
+    """Accumulate table rows over the 8 trilinear corners.
+
+    idxs: (8, M) int32 flat table indices, weights: (8, M) f32.
+    Returns (F, M): per-feature accumulated features.
+    """
+    f = table.shape[-1]
+    m = idxs.shape[1]
+    out = []
+    for j in range(f):
+        col = table[:, j]
+        acc = jnp.zeros((m,), table.dtype)
+        for k in range(idxs.shape[0]):
+            acc = acc + col[idxs[k]] * weights[k]
+        out.append(acc)
+    return jnp.stack(out, 0)
+
+
+def _weighted_lookup_fwd(table, idxs, weights):
+    return _weighted_lookup(table, idxs, weights), (idxs, weights,
+                                                    table.shape)
+
+
+def _weighted_lookup_bwd(res, g):
+    idxs, weights, tshape = res
+    cols = []
+    for j in range(tshape[-1]):
+        acc = jnp.zeros((tshape[0],), g.dtype)
+        for k in range(idxs.shape[0]):
+            acc = acc.at[idxs[k]].add(g[j] * weights[k])
+        cols.append(acc)
+    d_table = jnp.stack(cols, -1)
+    return (d_table,
+            jnp.zeros(idxs.shape, jax.dtypes.float0),
+            jnp.zeros(weights.shape, weights.dtype))
+
+
+_weighted_lookup.defvjp(_weighted_lookup_fwd, _weighted_lookup_bwd)
 
 
 def hashgrid_encode(
     table: jnp.ndarray, cfg: HashGridConfig, x: jnp.ndarray
 ) -> jnp.ndarray:
     """Encode positions x (B, 3) in [0,1]^3 -> features (B, L*F)."""
+    b = x.shape[0]
+    l = cfg.n_levels
+    res_np = cfg.resolutions()
+    res = jnp.asarray(res_np, jnp.float32)              # (L,)
+    res_i = jnp.asarray(res_np + 1, jnp.uint32)         # vertices per axis
+    dense_ok = jnp.asarray(
+        ((res_np + 1).astype(np.int64) ** 3) <= cfg.table_size)
+    level_off = jnp.asarray(
+        np.arange(cfg.n_levels, dtype=np.int64) * cfg.table_size,
+        jnp.uint32)
+    mask = jnp.uint32(cfg.table_size - 1)
+
     x = jnp.clip(x, 0.0, 1.0)
-    res = jnp.asarray(cfg.resolutions(), jnp.float32)  # (L,)
-    pos = x[:, None, :] * res[None, :, None]           # (B, L, 3)
-    cell0 = jnp.floor(pos).astype(jnp.int32)
-    frac = pos - cell0.astype(jnp.float32)
+    # everything below lives in FLAT (M,) = (B*L,) 1-D arrays: 1-D layouts
+    # are unpadded T(1024); any (B, L) or (..., 3) shape gets (8,128)-tiled
+    # with large sublane padding.
+    res_u = jnp.broadcast_to(res_i[None, :], (b, l)).reshape(-1)
+    dense_f = jnp.broadcast_to(dense_ok[None, :], (b, l)).reshape(-1)
+    off_f = jnp.broadcast_to(level_off[None, :], (b, l)).reshape(-1)
 
-    offs = jnp.asarray(
-        [[i, j, k] for i in (0, 1) for j in (0, 1) for k in (0, 1)],
-        jnp.int32,
-    )  # (8, 3)
-    corners = cell0[:, :, None, :] + offs[None, None]   # (B, L, 8, 3)
-    idx = _corner_indices(cfg, corners)                  # (B, L, 8)
-    feats = table[idx]                                   # (B, L, 8, F)
+    cell = []
+    frac = []
+    for c in range(3):
+        p = (x[:, c:c + 1] * res[None, :]).reshape(-1)   # (M,)
+        c0 = jnp.floor(p)
+        cell.append(c0.astype(jnp.uint32))
+        frac.append(p - c0)
 
-    w = jnp.where(offs[None, None].astype(bool), frac[:, :, None, :],
-                  1.0 - frac[:, :, None, :])
-    weight = jnp.prod(w, axis=-1)                        # (B, L, 8)
-    out = jnp.sum(feats * weight[..., None], axis=2)     # (B, L, F)
-    return out.reshape(x.shape[0], cfg.n_levels * cfg.n_features)
+    idxs = []
+    weights = []
+    for k in range(8):
+        kx, ky, kz = (k >> 2) & 1, (k >> 1) & 1, k & 1
+        cx = cell[0] + jnp.uint32(kx)
+        cy = cell[1] + jnp.uint32(ky)
+        cz = cell[2] + jnp.uint32(kz)
+        dense = cx + res_u * (cy + res_u * cz)
+        hashed = (cx * jnp.uint32(_PRIMES[0])
+                  ^ cy * jnp.uint32(_PRIMES[1])
+                  ^ cz * jnp.uint32(_PRIMES[2])) & mask
+        idx = jnp.where(dense_f, dense, hashed) + off_f
+        idxs.append(idx.astype(jnp.int32))               # (M,)
+        wx = frac[0] if kx else 1.0 - frac[0]
+        wy = frac[1] if ky else 1.0 - frac[1]
+        wz = frac[2] if kz else 1.0 - frac[2]
+        weights.append(wx * wy * wz)
+
+    idxs = jnp.stack(idxs, 0)                            # (8, M)
+    weights = jax.lax.stop_gradient(jnp.stack(weights, 0))
+    # Fusion barrier: letting XLA fuse the index computation into the
+    # gathers turns them into a serial fused loop (~5000x slower on TPU,
+    # see PERF.md). Materialize indices/weights first.
+    idxs, weights = jax.lax.optimization_barrier((idxs, weights))
+    feats = _weighted_lookup(table, idxs, weights)       # (F, M)
+    # (F, B*L) -> (B, F*L); feature order is a fixed permutation absorbed
+    # by the learned first MLP layer, so no 3-D transpose is needed.
+    return jnp.concatenate(
+        [feats[j].reshape(b, l) for j in range(cfg.n_features)], axis=-1)

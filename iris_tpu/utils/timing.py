@@ -1,0 +1,38 @@
+"""Trustworthy device timing helpers.
+
+In this environment, repeating a jitted call on IDENTICAL input buffers can
+be served from an execution cache (measured: same-args loops report
+microseconds for work that takes seconds with fresh inputs). Every
+benchmark must therefore vary its inputs per iteration — the helpers here
+thread a fresh PRNG key or input batch into each call and block on the
+final result.
+"""
+
+from __future__ import annotations
+
+import time
+
+import jax
+
+
+def bench_keyed(fn, key, iters: int = 5, warmup: int = 1):
+    """Time fn(key_i) with a fresh fold_in key per call. Returns seconds."""
+    for i in range(warmup):
+        jax.block_until_ready(fn(jax.random.fold_in(key, 1000 + i)))
+    t0 = time.time()
+    outs = [fn(jax.random.fold_in(key, i)) for i in range(iters)]
+    jax.block_until_ready(outs)
+    return (time.time() - t0) / iters
+
+
+def bench_batched(fn, make_input, iters: int = 5, warmup: int = 1):
+    """Time fn(x_i) with freshly generated inputs (pre-built outside the
+    timed region). make_input(i) -> pytree."""
+    inputs = [make_input(i) for i in range(warmup + iters)]
+    inputs = jax.block_until_ready(inputs)
+    for i in range(warmup):
+        jax.block_until_ready(fn(inputs[i]))
+    t0 = time.time()
+    outs = [fn(inputs[warmup + i]) for i in range(iters)]
+    jax.block_until_ready(outs)
+    return (time.time() - t0) / iters
