@@ -21,6 +21,7 @@ TPU-critical layout rules baked in (measured on v5e, see PERF.md):
 
 from __future__ import annotations
 
+import functools
 from dataclasses import dataclass, field
 
 import jax
@@ -51,50 +52,60 @@ class HashGridConfig:
 
 
 def init_hashgrid(key: jax.Array, cfg: HashGridConfig) -> jnp.ndarray:
-    """Table params (L*T, F), uniform(-1e-4, 1e-4) like tcnn's default."""
-    shape = (cfg.n_levels * cfg.table_size, cfg.n_features)
-    return jax.random.uniform(key, shape, jnp.float32, -1e-4, 1e-4)
+    """Table params as a FLAT (F * L * T,) array, uniform(-1e-4, 1e-4).
 
-
-@jax.custom_vjp
-def _weighted_lookup(table, idxs, weights):
-    """Accumulate table rows over the 8 trilinear corners.
-
-    idxs: (8, M) int32 flat table indices, weights: (8, M) f32.
-    Returns (F, M): per-feature accumulated features.
+    1-D on purpose: a (L*T, F=2) array gets the (8,128)-tiled TPU layout —
+    the 2-wide minor dim pads to 128 lanes, a 64x memory/traffic blowup on
+    every read of the parameter. Feature j's level tables live at
+    [j*L*T, (j+1)*L*T).
     """
-    f = table.shape[-1]
+    n = cfg.n_features * cfg.n_levels * cfg.table_size
+    return jax.random.uniform(key, (n,), jnp.float32, -1e-4, 1e-4)
+
+
+def _lookup_impl(table, idxs, weights, n_features, block):
     m = idxs.shape[1]
     out = []
-    for j in range(f):
-        col = table[:, j]
+    for j in range(n_features):
         acc = jnp.zeros((m,), table.dtype)
         for k in range(idxs.shape[0]):
-            acc = acc + col[idxs[k]] * weights[k]
+            acc = acc + table[idxs[k] + j * block] * weights[k]
         out.append(acc)
     return jnp.stack(out, 0)
 
 
-def _weighted_lookup_fwd(table, idxs, weights):
-    return _weighted_lookup(table, idxs, weights), (idxs, weights,
-                                                    table.shape)
+def weighted_lookup(table, idxs, weights, n_features: int, block: int):
+    """Custom-VJP weighted lookup (see module docstring for layout rules).
+
+    The backward builds the flat table cotangent with explicit 1-D
+    `.at[].add` scatters — JAX's automatic gather-VJP emits a pathological
+    padded scatter on TPU.
+    """
+    return _weighted_lookup_p(table, idxs, weights, n_features, block)
 
 
-def _weighted_lookup_bwd(res, g):
-    idxs, weights, tshape = res
-    cols = []
-    for j in range(tshape[-1]):
-        acc = jnp.zeros((tshape[0],), g.dtype)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def _weighted_lookup_p(table, idxs, weights, n_features, block):
+    return _lookup_impl(table, idxs, weights, n_features, block)
+
+
+def _weighted_lookup_fwd(table, idxs, weights, n_features, block):
+    return (_lookup_impl(table, idxs, weights, n_features, block),
+            (idxs, weights, table.shape[0]))
+
+
+def _weighted_lookup_bwd(n_features, block, res, g):
+    idxs, weights, tsize = res
+    acc = jnp.zeros((tsize,), g.dtype)
+    for j in range(n_features):
         for k in range(idxs.shape[0]):
-            acc = acc.at[idxs[k]].add(g[j] * weights[k])
-        cols.append(acc)
-    d_table = jnp.stack(cols, -1)
-    return (d_table,
+            acc = acc.at[idxs[k] + j * block].add(g[j] * weights[k])
+    return (acc,
             jnp.zeros(idxs.shape, jax.dtypes.float0),
             jnp.zeros(weights.shape, weights.dtype))
 
 
-_weighted_lookup.defvjp(_weighted_lookup_fwd, _weighted_lookup_bwd)
+_weighted_lookup_p.defvjp(_weighted_lookup_fwd, _weighted_lookup_bwd)
 
 
 def hashgrid_encode(
@@ -153,7 +164,8 @@ def hashgrid_encode(
     # gathers turns them into a serial fused loop (~5000x slower on TPU,
     # see PERF.md). Materialize indices/weights first.
     idxs, weights = jax.lax.optimization_barrier((idxs, weights))
-    feats = _weighted_lookup(table, idxs, weights)       # (F, M)
+    feats = weighted_lookup(table, idxs, weights, cfg.n_features,
+                            cfg.n_levels * cfg.table_size)   # (F, M)
     # (F, B*L) -> (B, F*L); feature order is a fixed permutation absorbed
     # by the learned first MLP layer, so no 3-D transpose is needed.
     return jnp.concatenate(

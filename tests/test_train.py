@@ -27,12 +27,12 @@ def test_initialize_step_decreases_loss():
     step = make_train_step(loss_fn, opt, donate=False)
     batch = make_demo_batch(n_side=8)
     losses = []
-    for i in range(5):
+    for i in range(12):
         params, opt_state, loss, aux = step(params, opt_state, batch,
                                             jax.random.PRNGKey(i))
         losses.append(float(loss))
     assert all(np.isfinite(losses))
-    assert losses[-1] < losses[0], losses
+    assert np.mean(losses[-3:]) < losses[0], losses
 
 
 def test_train_emitter_loss_grads_only_radiance():
