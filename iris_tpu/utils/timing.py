@@ -15,13 +15,23 @@ import time
 import jax
 
 
+def _fetch(out):
+    """Force a real host round-trip: block_until_ready alone can return
+    before remote execution finishes on this backend."""
+    import numpy as np
+
+    leaves = jax.tree_util.tree_leaves(out)
+    return float(np.asarray(leaves[0]).reshape(-1)[0])
+
+
 def bench_keyed(fn, key, iters: int = 5, warmup: int = 1):
-    """Time fn(key_i) with a fresh fold_in key per call. Returns seconds."""
+    """Time fn(key_i) with a fresh fold_in key per call, fetching each
+    result to host. Returns seconds."""
     for i in range(warmup):
-        jax.block_until_ready(fn(jax.random.fold_in(key, 1000 + i)))
+        _fetch(fn(jax.random.fold_in(key, 1000 + i)))
     t0 = time.time()
-    outs = [fn(jax.random.fold_in(key, i)) for i in range(iters)]
-    jax.block_until_ready(outs)
+    for i in range(iters):
+        _fetch(fn(jax.random.fold_in(key, i)))
     return (time.time() - t0) / iters
 
 
