@@ -39,6 +39,10 @@ class HashGridConfig:
     log2_table_size: int = field(default=19, metadata=dict(static=True))
     base_resolution: int = field(default=16, metadata=dict(static=True))
     per_level_scale: float = field(default=1.3, metadata=dict(static=True))
+    # pack both bf16 features into one uint32 element so each corner costs
+    # ONE latency-bound gather instead of two (requires n_features == 2;
+    # forward runs in bf16, gradients stay f32 — standard mixed precision)
+    packed_gather: bool = field(default=False, metadata=dict(static=True))
 
     @property
     def table_size(self) -> int:
@@ -74,6 +78,28 @@ def _lookup_impl(table, idxs, weights, n_features, block):
     return jnp.stack(out, 0)
 
 
+def _lookup_packed_impl(table, idxs, weights, block):
+    """Both bf16 features packed per uint32 element: one gather per corner."""
+    m = idxs.shape[1]
+    f0 = jax.lax.bitcast_convert_type(
+        table[:block].astype(jnp.bfloat16), jnp.uint16).astype(jnp.uint32)
+    f1 = jax.lax.bitcast_convert_type(
+        table[block:].astype(jnp.bfloat16), jnp.uint16).astype(jnp.uint32)
+    packed = f0 | (f1 << 16)
+    packed = jax.lax.optimization_barrier(packed)
+    acc0 = jnp.zeros((m,), jnp.float32)
+    acc1 = jnp.zeros((m,), jnp.float32)
+    for k in range(idxs.shape[0]):
+        w = packed[idxs[k]]
+        g0 = jax.lax.bitcast_convert_type(
+            (w & 0xFFFF).astype(jnp.uint16), jnp.bfloat16).astype(jnp.float32)
+        g1 = jax.lax.bitcast_convert_type(
+            (w >> 16).astype(jnp.uint16), jnp.bfloat16).astype(jnp.float32)
+        acc0 = acc0 + g0 * weights[k]
+        acc1 = acc1 + g1 * weights[k]
+    return jnp.stack([acc0, acc1], 0)
+
+
 def weighted_lookup(table, idxs, weights, n_features: int, block: int):
     """Custom-VJP weighted lookup (see module docstring for layout rules).
 
@@ -106,6 +132,24 @@ def _weighted_lookup_bwd(n_features, block, res, g):
 
 
 _weighted_lookup_p.defvjp(_weighted_lookup_fwd, _weighted_lookup_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _weighted_lookup_packed_p(table, idxs, weights, block):
+    return _lookup_packed_impl(table, idxs, weights, block)
+
+
+def _weighted_lookup_packed_fwd(table, idxs, weights, block):
+    return (_lookup_packed_impl(table, idxs, weights, block),
+            (idxs, weights, table.shape[0]))
+
+
+def _weighted_lookup_packed_bwd(block, res, g):
+    return _weighted_lookup_bwd(2, block, res, g)
+
+
+_weighted_lookup_packed_p.defvjp(_weighted_lookup_packed_fwd,
+                                 _weighted_lookup_packed_bwd)
 
 
 def hashgrid_encode(
@@ -164,8 +208,11 @@ def hashgrid_encode(
     # gathers turns them into a serial fused loop (~5000x slower on TPU,
     # see PERF.md). Materialize indices/weights first.
     idxs, weights = jax.lax.optimization_barrier((idxs, weights))
-    feats = weighted_lookup(table, idxs, weights, cfg.n_features,
-                            cfg.n_levels * cfg.table_size)   # (F, M)
+    blk = cfg.n_levels * cfg.table_size
+    if cfg.packed_gather and cfg.n_features == 2:
+        feats = _weighted_lookup_packed_p(table, idxs, weights, blk)
+    else:
+        feats = weighted_lookup(table, idxs, weights, cfg.n_features, blk)
     # (F, B*L) -> (B, F*L); feature order is a fixed permutation absorbed
     # by the learned first MLP layer, so no 3-D transpose is needed.
     return jnp.concatenate(

@@ -275,3 +275,18 @@ def test_fit_weight_recovers_curves():
     target = np.asarray(crf.f0)[None] + w_true @ np.asarray(crf.basis)
     w_fit = C.fit_weight_to_crf(crf, target)
     assert np.allclose(w_fit, w_true, atol=1e-3)
+
+
+def test_hashgrid_packed_matches_full_within_bf16():
+    cfg_f = HashGridConfig(n_levels=4, log2_table_size=10, base_resolution=4)
+    cfg_p = HashGridConfig(n_levels=4, log2_table_size=10, base_resolution=4,
+                           packed_gather=True)
+    table = init_hashgrid(jax.random.PRNGKey(0), cfg_f) * 100
+    x = jax.random.uniform(jax.random.PRNGKey(1), (64, 3))
+    full = hashgrid_encode(table, cfg_f, x)
+    packed = hashgrid_encode(table, cfg_p, x)
+    assert np.allclose(full, packed, rtol=1e-2, atol=1e-2)
+    # gradients agree (bwd path shared)
+    g1 = jax.grad(lambda t: hashgrid_encode(t, cfg_f, x).sum())(table)
+    g2 = jax.grad(lambda t: hashgrid_encode(t, cfg_p, x).sum())(table)
+    assert np.allclose(g1, g2, atol=1e-5)
