@@ -41,8 +41,9 @@ class HashGridConfig:
     per_level_scale: float = field(default=1.3, metadata=dict(static=True))
     # pack both bf16 features into one uint32 element so each corner costs
     # ONE latency-bound gather instead of two (requires n_features == 2;
-    # forward runs in bf16, gradients stay f32 — standard mixed precision)
-    packed_gather: bool = field(default=False, metadata=dict(static=True))
+    # forward runs in bf16, gradients stay f32 — mixed precision like
+    # tcnn's fp16 tables). Measured 2.2x encode fwd, 1.34x train step.
+    packed_gather: bool = field(default=True, metadata=dict(static=True))
 
     @property
     def table_size(self) -> int:
