@@ -30,6 +30,8 @@ from iris_tpu.train.steps import LossConfig, make_initialize_loss
 
 
 def main(argv=None):
+    from iris_tpu.parallel.distributed import ensure_multihost
+    ensure_multihost()
     parser = add_model_specific_args(ArgumentParser())
     parser.add_argument("--experiment_name", type=str, required=True)
     parser.add_argument("--max_steps", type=int, default=2000)

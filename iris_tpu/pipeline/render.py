@@ -173,8 +173,11 @@ def main(argv=None):
         save_image(emission_img, str(dirs["emission"] / f"{i:05d}.png"))
         write_exr(str(dirs["slf"] / f"{i:05d}_slf.exr"),
                   slf_v.reshape(h, w, 3))
+        rough3 = np.repeat(rough.reshape(h, w, 1), 3, -1)
+        metal3 = np.repeat(metal.reshape(h, w, 1), 3, -1)
         merge = np.concatenate(
-            [gt, ldr, kd.reshape(h, w, 3), a_prime.reshape(h, w, 3)], axis=1)
+            [gt, ldr, kd.reshape(h, w, 3), a_prime.reshape(h, w, 3),
+             rough3, metal3, emission_img], axis=1)
         save_image(merge, str(dirs["merge"] / f"{i:05d}_merge.png"))
         print(f"frame {i}: psnr={psnrs[-1]:.3f} ssim={ssims[-1]:.4f}")
 

@@ -112,9 +112,12 @@ def main(argv=None):
     is_em, em_rad = ez["is_emitter"], ez["emitter_radiance"]
 
     from iris_tpu.pipeline.common import make_dataset
+    # anti-alias by supersampling: render at aa x resolution, area-resize
+    # down (reference render_relight.py:218-222, :295-296)
+    aa = max(args.anti_aliasing, 1)
+    args.res_scale = args.res_scale * aa
     dataset = make_dataset(args, "train")
     h, w = dataset.img_hw
-    aa = max(args.anti_aliasing, 1)
 
     from iris_tpu.pipeline.render_video import trajectory_rays
     if args.mode == "traj":
@@ -152,6 +155,10 @@ def main(argv=None):
         img = denoise_hdr(l.reshape(h, w, 3))
         ldr = np.asarray(crf_forward(crf, jnp.asarray(img.reshape(-1, 3)),
                                      1.0)).reshape(h, w, 3)
+        if aa > 1:
+            hh, ww = (h // aa) * aa, (w // aa) * aa
+            ldr = ldr[:hh, :ww].reshape(hh // aa, aa, ww // aa, aa, 3) \
+                .mean((1, 3))
         save_image(ldr, os.path.join(args.output_path, f"{i:05d}.png"))
         frames.append(ldr)
         print(f"[render_relight] frame {i + 1}/{len(rays_list)}")
