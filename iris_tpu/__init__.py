@@ -26,4 +26,14 @@ if not _os.environ.get("IRIS_TPU_NO_CACHE"):
     except Exception:
         pass
 
+if _os.environ.get("IRIS_TPU_FORCE_CPU"):
+    # JAX_PLATFORMS is ignored by this environment's TPU plugin; this knob
+    # pins the default device to CPU (same mechanism as tests/conftest.py).
+    try:
+        import jax as _jax2
+
+        _jax2.config.update("jax_default_device", _jax2.devices("cpu")[0])
+    except Exception:
+        pass
+
 from iris_tpu.const import GAMMA, SEED, RAY_EPS

@@ -22,6 +22,10 @@ spp=${spp:-32}
 STEPS_INIT=${STEPS_INIT:-2000}
 STEPS_BRDF=${STEPS_BRDF:-4000}
 STEPS_EMITTER=${STEPS_EMITTER:-1000}
+SPP_BAKE_DIFFUSE=${SPP_BAKE_DIFFUSE:-256}
+SPP_REFINE_DIFFUSE=${SPP_REFINE_DIFFUSE:-128}
+SPP_REFINE_SPECULAR=${SPP_REFINE_SPECULAR:-64}
+INDIR_DEPTH=${INDIR_DEPTH:-5}
 
 CKPT=checkpoints/$EXP
 BAKE=$CKPT/bake
@@ -51,7 +55,7 @@ python -m iris_tpu.pipeline.extract_emitter $COMMON_DS --output $BAKE \
 # 5. bake shading caches
 python -m iris_tpu.pipeline.bake_shading $COMMON_DS \
     --slf_path $BAKE/vslf.npz --emitter_path $BAKE/emitter.npz \
-    --output $OUT/shading
+    --output $OUT/shading --spp_diffuse $SPP_BAKE_DIFFUSE
 
 # 6. optimize BRDF + CRF against the caches
 python -m iris_tpu.pipeline.train_brdf_crf --experiment_name $EXP/brdf0 \
@@ -78,7 +82,9 @@ python -m iris_tpu.pipeline.extract_emitter $COMMON_DS --output $BAKE \
 # 9. refine shadings with the learned BRDF + final BRDF/CRF pass
 python -m iris_tpu.pipeline.refine_shading $COMMON_DS \
     --slf_path $BAKE/vslf_0.npz --emitter_path $BAKE/emitter.npz \
-    --ckpt checkpoints/$EXP/brdf0/last.pkl --output $OUT/shading_1
+    --ckpt checkpoints/$EXP/brdf0/last.pkl --output $OUT/shading_1 \
+    --spp_diffuse $SPP_REFINE_DIFFUSE --spp_specular $SPP_REFINE_SPECULAR \
+    --indir_depth $INDIR_DEPTH
 
 python -m iris_tpu.pipeline.train_brdf_crf --experiment_name $EXP/brdf1 \
     $TRAIN_DS --has_part $HAS_PART --crf_basis $CRF_BASIS \
