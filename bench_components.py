@@ -54,7 +54,7 @@ def main():
     def enc_loss(tab, k):
         return hashgrid_encode(tab, ngp.cfg,
                                jax.random.uniform(k, (n, 3))).sum()
-    encg = jax.jit(lambda k: jax.grad(enc_loss)(ngp.table, k)[0, 0])
+    encg = jax.jit(lambda k: jax.grad(enc_loss)(ngp.table, k)[0])
     dt = bench_keyed(encg, jax.random.PRNGKey(2))
     report("hashgrid_fwd_bwd_queries_per_s", dt, n, "queries/s")
 
@@ -70,7 +70,7 @@ def main():
         l = path_tracing_single(k, tracer, em, demo_mat_fn(p), o, d, dxdu,
                                 dydv, SPP)
         return jnp.mean(crf_forward(crf, l, 1.0) ** 2)
-    gradf = jax.jit(lambda k: jax.grad(loss)(ngp, k).table[0, 0])
+    gradf = jax.jit(lambda k: jax.grad(loss)(ngp, k).table[0])
     dt = bench_keyed(gradf, jax.random.PRNGKey(4))
     report("pts_fwd_bwd_rays_per_s", dt, o.shape[0] * SPP, "rays/s")
 
