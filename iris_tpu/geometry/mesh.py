@@ -123,7 +123,7 @@ def _parse_ply_ascii(body: bytes, elements) -> Mesh:
     faces: list[list[int]] = []
     for name, count, props in elements:
         if name == "vertex":
-            names = [p[1] for p in props if p[0] == "scalar"]
+            names = [p[2] for p in props if p[0] == "scalar"]
             arr = np.array(
                 [lines[pos + i].split() for i in range(count)], dtype=np.float64
             )
@@ -149,7 +149,7 @@ def _parse_ply_binary(body: bytes, elements, endian: str) -> Mesh:
     faces_arr = None
     for name, count, props in elements:
         if all(p[0] == "scalar" for p in props):
-            dt = np.dtype([(p[1], endian + _PLY_DTYPES[p[2]]) for p in props])
+            dt = np.dtype([(p[2], endian + _PLY_DTYPES[p[1]]) for p in props])
             arr = np.frombuffer(body, dtype=dt, count=count, offset=offset)
             offset += dt.itemsize * count
             if name == "vertex":
@@ -159,8 +159,8 @@ def _parse_ply_binary(body: bytes, elements, endian: str) -> Mesh:
         else:
             # list property (face element). Fast path: uniform triangle lists.
             assert props[0][0] == "list", "unsupported PLY layout"
-            cnt_dt = np.dtype(endian + _PLY_DTYPES[props[0][2]])
-            idx_dt = np.dtype(endian + _PLY_DTYPES[props[0][3]])
+            cnt_dt = np.dtype(endian + _PLY_DTYPES[props[0][1]])
+            idx_dt = np.dtype(endian + _PLY_DTYPES[props[0][2]])
             first_n = int(
                 np.frombuffer(body, dtype=cnt_dt, count=1, offset=offset)[0]
             )
