@@ -3,7 +3,14 @@
 Measures rays/s of a jit-compiled gradient step of `path_tracing_single`
 (3 BVH traversals + hash-grid BRDF + emitter sampling + CRF per camera
 sample, grads into material+emitter+CRF — mirrors SURVEY.md §3.2, the
-reference's initialize/train_emitter inner loop) on the flagship demo scene.
+reference's initialize/train_emitter inner loop) on the flagship demo scene
+at the REFERENCE model capacity: 32 hash levels x 2^19 table
+(reference model/brdf.py:222-240).
+
+Timing hygiene (PERF.md): every iteration uses a FRESH ray batch and a
+fresh PRNG key, and fetches the loss scalar to host before the clock
+stops — repeated-args loops and fetch-free `block_until_ready` report
+fantasy numbers on this backend.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 `vs_baseline` is measured against BASELINE_BENCH.json at repo root (the
@@ -23,11 +30,14 @@ import time
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 BATCH = 8192          # reference training batch (configs/config.py:9)
 SPP = 32              # reference per-round spp (train.sh:20)
 WARMUP = 2
 ITERS = 8
+HASH_LEVELS = 32      # reference model/brdf.py:223
+LOG2_TABLE = 19       # reference model/brdf.py:226
 
 
 def main():
@@ -37,14 +47,12 @@ def main():
     from iris_tpu.models.crf import crf_forward
     from iris_tpu.render.integrator import path_tracing_single
 
-    # full-size flagship model: 2^19 hash table x 16 levels
     tracer, em, ngp, crf, _ = make_demo_scene(
-        n_clutter=32, slf_res=64, hash_levels=16, log2_table=19
+        n_clutter=32, slf_res=64, hash_levels=HASH_LEVELS,
+        log2_table=LOG2_TABLE,
     )
     n_side = int(BATCH ** 0.5)
     o, d, dxdu, dydv = camera_rays(n_side)
-    o, d = jnp.asarray(o), jnp.asarray(d)
-    dxdu, dydv = jnp.asarray(dxdu), jnp.asarray(dydv)
     b = o.shape[0]
     target = jnp.ones((b, 3)) * 0.5
 
@@ -52,26 +60,38 @@ def main():
 
     from dataclasses import replace as dc_replace
 
-    def loss_fn(p, key):
+    def loss_fn(p, rays_o, rays_d, key):
         em2 = dc_replace(em, radiance=p["radiance"])
         crf2 = dc_replace(crf, weight=p["crf_w"])
-        mat_fn = functools.partial(ngp_brdf_apply, p["material"])
-        l = path_tracing_single(key, tracer, em2, mat_fn, o, d, dxdu, dydv,
-                                SPP)
+        key, k_mat = jax.random.split(key)
+        # stochastic-corner hash-grid gradients: the default train config
+        mat_fn = functools.partial(ngp_brdf_apply, p["material"], key=k_mat)
+        l = path_tracing_single(key, tracer, em2, mat_fn, rays_o, rays_d,
+                                jnp.asarray(dxdu), jnp.asarray(dydv), SPP)
         ldr = crf_forward(crf2, l, 1.0)
         return jnp.mean((ldr - target) ** 2)
 
     grad_fn = jax.jit(jax.value_and_grad(loss_fn))
 
+    # fresh ray batch per iteration: small per-iteration origin offsets,
+    # pre-built and device-resident before the clock starts
+    rng = np.random.default_rng(0)
+    batches = []
+    for _ in range(WARMUP + ITERS):
+        jo = (o + rng.uniform(-0.01, 0.01, o.shape)).astype(np.float32)
+        batches.append((jnp.asarray(jo), jnp.asarray(d)))
+    batches = jax.block_until_ready(batches)
+
     key = jax.random.PRNGKey(0)
     for i in range(WARMUP):
-        v, g = grad_fn(params, jax.random.fold_in(key, i))
-        jax.block_until_ready(g)
+        v, g = grad_fn(params, *batches[i], jax.random.fold_in(key, i))
+        float(v)  # host fetch
 
     t0 = time.time()
     for i in range(ITERS):
-        v, g = grad_fn(params, jax.random.fold_in(key, 100 + i))
-    jax.block_until_ready(g)
+        v, g = grad_fn(params, *batches[WARMUP + i],
+                       jax.random.fold_in(key, 100 + i))
+        float(v)  # host fetch per iteration: the only credible timer here
     dt = (time.time() - t0) / ITERS
 
     rays_per_s = b * SPP / dt
@@ -103,3 +123,4 @@ def main():
 
 if __name__ == "__main__":
     main()
+    os._exit(0)

@@ -44,19 +44,35 @@ def main():
     dt = bench_keyed(trace, jax.random.PRNGKey(0))
     report("traversal_rays_per_s", dt, o0.shape[0], "rays/s")
 
-    # hash-grid encode fwd, fresh positions
-    enc = jax.jit(lambda k: hashgrid_encode(
-        ngp.table, ngp.cfg, jax.random.uniform(k, (n, 3))).sum())
-    dt = bench_keyed(enc, jax.random.PRNGKey(1))
-    report("hashgrid_fwd_queries_per_s", dt, n, "queries/s")
+    # hash-grid encode variants at 16 and the reference 32 levels
+    from dataclasses import replace as dc_replace
 
-    # hash-grid fwd+bwd
-    def enc_loss(tab, k):
-        return hashgrid_encode(tab, ngp.cfg,
-                               jax.random.uniform(k, (n, 3))).sum()
-    encg = jax.jit(lambda k: jax.grad(enc_loss)(ngp.table, k)[0])
-    dt = bench_keyed(encg, jax.random.PRNGKey(2))
-    report("hashgrid_fwd_bwd_queries_per_s", dt, n, "queries/s")
+    from iris_tpu.models.hashgrid import HashGridConfig, init_hashgrid
+
+    for levels in (16, 32):
+        cfg0 = HashGridConfig(n_levels=levels, log2_table_size=19)
+        table = init_hashgrid(jax.random.PRNGKey(7), cfg0)
+        variants = {
+            "exact": (dc_replace(cfg0, stochastic_bwd=False), False),
+            "stoch_bwd": (cfg0, True),
+            "stoch_fwd": (dc_replace(cfg0, stochastic_fwd=True), True),
+        }
+        for name, (cfg, use_key) in variants.items():
+            def enc_loss(tab, k, cfg=cfg, use_key=use_key):
+                x = jax.random.uniform(k, (n, 3))
+                return hashgrid_encode(tab, cfg, x,
+                                       k if use_key else None).sum()
+
+            if name == "exact":
+                enc = jax.jit(lambda k, cfg=cfg: hashgrid_encode(
+                    table, cfg, jax.random.uniform(k, (n, 3))).sum())
+                dt = bench_keyed(enc, jax.random.PRNGKey(1))
+                report(f"hashgrid{levels}_fwd_queries_per_s", dt, n,
+                       "queries/s")
+            encg = jax.jit(lambda k, f=enc_loss: jax.grad(f)(table, k)[0])
+            dt = bench_keyed(encg, jax.random.PRNGKey(2))
+            report(f"hashgrid{levels}_{name}_fwd_bwd_queries_per_s", dt, n,
+                   "queries/s")
 
     # full single-bounce fwd (fresh keys -> fresh jitter/samples)
     o, d, dxdu, dydv = map(jnp.asarray, camera_rays(int(B ** 0.5)))
@@ -65,15 +81,24 @@ def main():
     dt = bench_keyed(fwd, jax.random.PRNGKey(3))
     report("pts_fwd_rays_per_s", dt, o.shape[0] * SPP, "rays/s")
 
-    # fwd+bwd
-    def loss(p, k):
-        l = path_tracing_single(k, tracer, em, demo_mat_fn(p), o, d, dxdu,
+    # fwd+bwd: exact grads vs the stochastic-corner train config
+    def loss(p, k, use_key):
+        key, k_mat = jax.random.split(k)
+        mat_fn = (functools.partial(ngp_brdf_apply, p, key=k_mat)
+                  if use_key else demo_mat_fn(p))
+        l = path_tracing_single(key, tracer, em, mat_fn, o, d, dxdu,
                                 dydv, SPP)
         return jnp.mean(crf_forward(crf, l, 1.0) ** 2)
-    gradf = jax.jit(lambda k: jax.grad(loss)(ngp, k).table[0])
-    dt = bench_keyed(gradf, jax.random.PRNGKey(4))
-    report("pts_fwd_bwd_rays_per_s", dt, o.shape[0] * SPP, "rays/s")
+
+    for name, use_key in (("exact", False), ("stoch_bwd", True)):
+        gradf = jax.jit(
+            lambda k, u=use_key: jax.grad(loss)(ngp, k, u).table[0])
+        dt = bench_keyed(gradf, jax.random.PRNGKey(4))
+        report(f"pts_fwd_bwd_{name}_rays_per_s", dt, o.shape[0] * SPP,
+               "rays/s")
 
 
 if __name__ == "__main__":
     main()
+    import os
+    os._exit(0)

@@ -169,14 +169,19 @@ def init_ngp_brdf(
     )
 
 
-def ngp_brdf_apply(params: NGPBRDF, position: jnp.ndarray) -> dict:
+def ngp_brdf_apply(params: NGPBRDF, position: jnp.ndarray,
+                   key: jax.Array | None = None) -> dict:
     """Query BRDF parameters at positions (B,3).
 
     Returns dict(albedo (B,3), roughness (B,1) in [0.02,1], metallic (B,1)),
     same output mapping as reference model/brdf.py:243-260.
+
+    `key` enables the hash grid's unbiased stochastic-corner estimators
+    (training hot path; see HashGridConfig). Without a key the encode is
+    exact and fully deterministic (eval/render path).
     """
     x = (position - params.voxel_min) / (params.voxel_max - params.voxel_min)
-    feat = hashgrid_encode(params.table, params.cfg, x)
+    feat = hashgrid_encode(params.table, params.cfg, x, key)
     out = jax.nn.sigmoid(apply_mlp(params.mlp, feat))
     return {
         "albedo": out[..., 0:3],

@@ -44,6 +44,18 @@ class HashGridConfig:
     # forward runs in bf16, gradients stay f32 — mixed precision like
     # tcnn's fp16 tables). Measured 2.2x encode fwd, 1.34x train step.
     packed_gather: bool = field(default=True, metadata=dict(static=True))
+    # Stochastic-corner estimators (active only when hashgrid_encode gets a
+    # PRNG key). Corner selection is SEPARABLE: each axis bit is an
+    # independent Bernoulli(frac_axis), so the chosen corner has exactly its
+    # trilinear weight as probability and the importance weight is exactly 1
+    # — no weight products, unbiased by construction.
+    #   stochastic_bwd: backward scatters the cotangent to the ONE sampled
+    #     corner instead of all 8 (8x fewer latency-bound scatter elements;
+    #     E[grad] = exact grad). Forward stays exact.
+    #   stochastic_fwd: forward gathers the ONE sampled corner too (8x fewer
+    #     gathers; E[feature] = trilinear feature, extra MC variance).
+    stochastic_bwd: bool = field(default=True, metadata=dict(static=True))
+    stochastic_fwd: bool = field(default=False, metadata=dict(static=True))
 
     @property
     def table_size(self) -> int:
@@ -157,10 +169,92 @@ _weighted_lookup_packed_p.defvjp(_weighted_lookup_packed_fwd,
                                  _weighted_lookup_packed_bwd)
 
 
+# ------------------------------------------------- stochastic-corner lookups
+
+def _scatter_chosen(g, chosen_idx, n_features, block, tsize):
+    """Cotangent via ONE f32 1-D scatter per feature at the sampled corner.
+
+    Unbiased: the corner was sampled with its trilinear weight as
+    probability and importance weight exactly 1 (separable Bernoulli
+    selection), so E[scatter] equals the exact 8-corner cotangent."""
+    acc = jnp.zeros((tsize,), g.dtype)
+    for j in range(n_features):
+        acc = acc.at[chosen_idx + j * block].add(g[j])
+    return acc
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+def _lookup_stoch_bwd_p(table, idxs, weights, chosen_idx,
+                        n_features, block, packed):
+    if packed:
+        return _lookup_packed_impl(table, idxs, weights, block)
+    return _lookup_impl(table, idxs, weights, n_features, block)
+
+
+def _lookup_stoch_bwd_fwd(table, idxs, weights, chosen_idx,
+                          n_features, block, packed):
+    out = _lookup_stoch_bwd_p(table, idxs, weights, chosen_idx,
+                              n_features, block, packed)
+    return out, (chosen_idx, table.shape[0], idxs.shape, weights.shape)
+
+
+def _lookup_stoch_bwd_bwd(n_features, block, packed, res, g):
+    chosen_idx, tsize, ishape, wshape = res
+    d_table = _scatter_chosen(g, chosen_idx, n_features, block, tsize)
+    return (d_table,
+            jnp.zeros(ishape, jax.dtypes.float0),
+            jnp.zeros(wshape, jnp.float32),
+            jnp.zeros(chosen_idx.shape, jax.dtypes.float0))
+
+
+_lookup_stoch_bwd_p.defvjp(_lookup_stoch_bwd_fwd, _lookup_stoch_bwd_bwd)
+
+
+def _stoch_gather_impl(table, chosen_idx, n_features, block, packed):
+    m = chosen_idx.shape[0]
+    if packed:
+        f0 = jax.lax.bitcast_convert_type(
+            table[:block].astype(jnp.bfloat16), jnp.uint16).astype(jnp.uint32)
+        f1 = jax.lax.bitcast_convert_type(
+            table[block:].astype(jnp.bfloat16), jnp.uint16).astype(jnp.uint32)
+        packed_t = jax.lax.optimization_barrier(f0 | (f1 << 16))
+        w = packed_t[chosen_idx]
+        g0 = jax.lax.bitcast_convert_type(
+            (w & 0xFFFF).astype(jnp.uint16), jnp.bfloat16).astype(jnp.float32)
+        g1 = jax.lax.bitcast_convert_type(
+            (w >> 16).astype(jnp.uint16), jnp.bfloat16).astype(jnp.float32)
+        return jnp.stack([g0, g1], 0)
+    return jnp.stack(
+        [table[chosen_idx + j * block] for j in range(n_features)], 0)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def _stoch_lookup_p(table, chosen_idx, n_features, block, packed):
+    return _stoch_gather_impl(table, chosen_idx, n_features, block, packed)
+
+
+def _stoch_lookup_fwd(table, chosen_idx, n_features, block, packed):
+    return (_stoch_gather_impl(table, chosen_idx, n_features, block, packed),
+            (chosen_idx, table.shape[0]))
+
+
+def _stoch_lookup_bwd(n_features, block, packed, res, g):
+    chosen_idx, tsize = res
+    d_table = _scatter_chosen(g, chosen_idx, n_features, block, tsize)
+    return (d_table, jnp.zeros(chosen_idx.shape, jax.dtypes.float0))
+
+
+_stoch_lookup_p.defvjp(_stoch_lookup_fwd, _stoch_lookup_bwd)
+
+
 def hashgrid_encode(
-    table: jnp.ndarray, cfg: HashGridConfig, x: jnp.ndarray
+    table: jnp.ndarray, cfg: HashGridConfig, x: jnp.ndarray,
+    key: jax.Array | None = None,
 ) -> jnp.ndarray:
-    """Encode positions x (B, 3) in [0,1]^3 -> features (B, L*F)."""
+    """Encode positions x (B, 3) in [0,1]^3 -> features (B, L*F).
+
+    With `key` and cfg.stochastic_{bwd,fwd}, runs the unbiased
+    stochastic-corner estimators (see HashGridConfig docstring)."""
     b = x.shape[0]
     l = cfg.n_levels
     res_np = cfg.resolutions()
@@ -181,6 +275,13 @@ def hashgrid_encode(
     dense_f = jnp.broadcast_to(dense_ok[None, :], (b, l)).reshape(-1)
     off_f = jnp.broadcast_to(level_off[None, :], (b, l)).reshape(-1)
 
+    def corner_index(cx, cy, cz):
+        dense = cx + res_u * (cy + res_u * cz)
+        hashed = (cx * jnp.uint32(_PRIMES[0])
+                  ^ cy * jnp.uint32(_PRIMES[1])
+                  ^ cz * jnp.uint32(_PRIMES[2])) & mask
+        return (jnp.where(dense_f, dense, hashed) + off_f).astype(jnp.int32)
+
     cell = []
     frac = []
     for c in range(3):
@@ -189,35 +290,56 @@ def hashgrid_encode(
         cell.append(c0.astype(jnp.uint32))
         frac.append(p - c0)
 
-    idxs = []
-    weights = []
-    for k in range(8):
-        kx, ky, kz = (k >> 2) & 1, (k >> 1) & 1, k & 1
-        cx = cell[0] + jnp.uint32(kx)
-        cy = cell[1] + jnp.uint32(ky)
-        cz = cell[2] + jnp.uint32(kz)
-        dense = cx + res_u * (cy + res_u * cz)
-        hashed = (cx * jnp.uint32(_PRIMES[0])
-                  ^ cy * jnp.uint32(_PRIMES[1])
-                  ^ cz * jnp.uint32(_PRIMES[2])) & mask
-        idx = jnp.where(dense_f, dense, hashed) + off_f
-        idxs.append(idx.astype(jnp.int32))               # (M,)
-        wx = frac[0] if kx else 1.0 - frac[0]
-        wy = frac[1] if ky else 1.0 - frac[1]
-        wz = frac[2] if kz else 1.0 - frac[2]
-        weights.append(wx * wy * wz)
-
-    idxs = jnp.stack(idxs, 0)                            # (8, M)
-    weights = jax.lax.stop_gradient(jnp.stack(weights, 0))
-    # Fusion barrier: letting XLA fuse the index computation into the
-    # gathers turns them into a serial fused loop (~5000x slower on TPU,
-    # see PERF.md). Materialize indices/weights first.
-    idxs, weights = jax.lax.optimization_barrier((idxs, weights))
+    stoch = key is not None and (cfg.stochastic_bwd or cfg.stochastic_fwd)
     blk = cfg.n_levels * cfg.table_size
-    if cfg.packed_gather and cfg.n_features == 2:
-        feats = _weighted_lookup_packed_p(table, idxs, weights, blk)
+    packed = cfg.packed_gather and cfg.n_features == 2
+
+    chosen_idx = None
+    if stoch:
+        # Separable corner sampling: per-axis Bernoulli(frac) — the chosen
+        # corner's probability IS its trilinear weight, importance weight 1.
+        u3 = jax.random.uniform(key, (3, b * l))
+        bits = [u3[c] < jax.lax.stop_gradient(frac[c]) for c in range(3)]
+        chosen_idx = corner_index(
+            cell[0] + bits[0].astype(jnp.uint32),
+            cell[1] + bits[1].astype(jnp.uint32),
+            cell[2] + bits[2].astype(jnp.uint32),
+        )
+
+    if stoch and cfg.stochastic_fwd:
+        # 1 gather + (in bwd) 1 scatter per feature, both at the sampled
+        # corner — the full 8-corner index/weight arrays are never built.
+        chosen_idx = jax.lax.optimization_barrier(chosen_idx)
+        feats = _stoch_lookup_p(table, chosen_idx, cfg.n_features, blk,
+                                packed)
     else:
-        feats = weighted_lookup(table, idxs, weights, cfg.n_features, blk)
+        idxs = []
+        weights = []
+        for k in range(8):
+            kx, ky, kz = (k >> 2) & 1, (k >> 1) & 1, k & 1
+            idxs.append(corner_index(cell[0] + jnp.uint32(kx),
+                                     cell[1] + jnp.uint32(ky),
+                                     cell[2] + jnp.uint32(kz)))
+            wx = frac[0] if kx else 1.0 - frac[0]
+            wy = frac[1] if ky else 1.0 - frac[1]
+            wz = frac[2] if kz else 1.0 - frac[2]
+            weights.append(wx * wy * wz)
+
+        idxs = jnp.stack(idxs, 0)                        # (8, M)
+        weights = jax.lax.stop_gradient(jnp.stack(weights, 0))
+        # Fusion barrier: letting XLA fuse the index computation into the
+        # gathers turns them into a serial fused loop (~5000x slower on TPU,
+        # see PERF.md). Materialize indices/weights first.
+        idxs, weights = jax.lax.optimization_barrier((idxs, weights))
+        if stoch and cfg.stochastic_bwd:
+            chosen_idx = jax.lax.optimization_barrier(chosen_idx)
+            feats = _lookup_stoch_bwd_p(table, idxs, weights, chosen_idx,
+                                        cfg.n_features, blk, packed)
+        elif packed:
+            feats = _weighted_lookup_packed_p(table, idxs, weights, blk)
+        else:
+            feats = weighted_lookup(table, idxs, weights, cfg.n_features,
+                                    blk)
     # (F, B*L) -> (B, F*L); feature order is a fixed permutation absorbed
     # by the learned first MLP layer, so no 3-D transpose is needed.
     return jnp.concatenate(

@@ -86,11 +86,13 @@ def make_initialize_loss(tracer, em_template, crf: EmorCRF, cfg: LossConfig):
         loss_c = mse(ldr, rgbs_gt)
 
         # albedo anchor against segment-mean pseudo albedo, live material
+        k_jit, k_mat = jax.random.split(k_jit)
         du, dv = jax.random.uniform(k_jit, (2, xs.shape[0], 1),
                                     minval=-0.5, maxval=0.5)
         wi = normalize(ds + dxdu * du + dydv * dv)
         positions, _, _, _, valid = ray_intersect(tracer, xs, wi)
-        mat = ngp_brdf_apply(params["material"], positions)
+        # key => unbiased stochastic-corner hash-grid gradients (hot path)
+        mat = ngp_brdf_apply(params["material"], positions, k_mat)
         seg = _seg_ids(batch["segmentation"], cfg.max_segments)
         w = valid.astype(jnp.float32)
         _, mean_albedo = segment_mean(batch["int_albedo"], seg,
@@ -143,7 +145,9 @@ def make_brdf_crf_loss(tracer, crf_template: EmorCRF, cfg: LossConfig,
         positions, _, _, _, valid = ray_intersect(tracer, xs, ds)
         w = valid.astype(jnp.float32)
 
-        mat = ngp_brdf_apply(params["material"], positions)
+        key, k_mat = jax.random.split(key)
+        # key => unbiased stochastic-corner hash-grid gradients (hot path)
+        mat = ngp_brdf_apply(params["material"], positions, k_mat)
         albedo, metallic, roughness = (mat["albedo"], mat["metallic"],
                                        mat["roughness"])
         kd = albedo * (1.0 - metallic)

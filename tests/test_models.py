@@ -290,3 +290,65 @@ def test_hashgrid_packed_matches_full_within_bf16():
     g1 = jax.grad(lambda t: hashgrid_encode(t, cfg_f, x).sum())(table)
     g2 = jax.grad(lambda t: hashgrid_encode(t, cfg_p, x).sum())(table)
     assert np.allclose(g1, g2, atol=1e-5)
+
+
+def test_hashgrid_stochastic_bwd_unbiased():
+    """E over corner keys of the stochastic-corner backward == exact grad.
+
+    The separable Bernoulli corner selection picks each corner with exactly
+    its trilinear weight, importance weight 1, so the single-corner scatter
+    is an unbiased estimator of the 8-corner cotangent."""
+    from dataclasses import replace
+
+    cfg = HashGridConfig(n_levels=3, log2_table_size=8, base_resolution=4,
+                         per_level_scale=1.5)
+    cfg_exact = replace(cfg, stochastic_bwd=False)
+    table = init_hashgrid(jax.random.PRNGKey(0), cfg) * 1e4
+    x = jax.random.uniform(jax.random.PRNGKey(1), (32, 3))
+    co = jax.random.normal(jax.random.PRNGKey(2),
+                           (32, cfg.n_levels * cfg.n_features))
+
+    def loss(t, k, c):
+        return jnp.sum(hashgrid_encode(t, c, x, k) * co)
+
+    g_exact = jax.grad(loss)(table, None, cfg_exact)
+    # exact cfg with a key must also stay exact
+    assert np.allclose(
+        jax.grad(loss)(table, jax.random.PRNGKey(9), cfg_exact), g_exact)
+
+    keys = jax.random.split(jax.random.PRNGKey(3), 512)
+    gs = jax.jit(jax.vmap(lambda k: jax.grad(loss)(table, k, cfg)))(keys)
+    g_mean = jnp.mean(gs, 0)
+    scale = jnp.abs(g_exact).max()
+    assert jnp.abs(g_mean - g_exact).max() / scale < 0.12  # ~1/sqrt(512) MC
+
+
+def test_hashgrid_stochastic_fwd_unbiased():
+    """E over corner keys of the stochastic-corner forward == exact encode,
+    and its VJP scatters to the gathered corner (self-consistent)."""
+    from dataclasses import replace
+
+    cfg = HashGridConfig(n_levels=3, log2_table_size=8, base_resolution=4,
+                         per_level_scale=1.5, stochastic_fwd=True)
+    cfg_exact = replace(cfg, stochastic_fwd=False, stochastic_bwd=False)
+    table = init_hashgrid(jax.random.PRNGKey(0), cfg) * 1e4
+    x = jax.random.uniform(jax.random.PRNGKey(1), (32, 3))
+
+    f_exact = hashgrid_encode(table, cfg_exact, x)
+    keys = jax.random.split(jax.random.PRNGKey(3), 512)
+    fs = jax.jit(jax.vmap(lambda k: hashgrid_encode(table, cfg, x, k)))(keys)
+    f_mean = jnp.mean(fs, 0)
+    assert jnp.abs(f_mean - f_exact).max() < 0.12 * jnp.abs(f_exact).max() \
+        + 0.05
+
+    # gradient of the stochastic fwd: unbiased for a linear functional
+    co = jax.random.normal(jax.random.PRNGKey(2), f_exact.shape)
+
+    def loss(t, k, c):
+        return jnp.sum(hashgrid_encode(t, c, x, k) * co)
+
+    g_exact = jax.grad(loss)(table, None, cfg_exact)
+    gs = jax.jit(jax.vmap(lambda k: jax.grad(loss)(table, k, cfg)))(keys)
+    g_mean = jnp.mean(gs, 0)
+    scale = jnp.abs(g_exact).max()
+    assert jnp.abs(g_mean - g_exact).max() / scale < 0.12
