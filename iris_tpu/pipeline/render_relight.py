@@ -25,6 +25,7 @@ from iris_tpu.pipeline.config import add_model_specific_args
 from iris_tpu.render.denoise import denoise_hdr
 from iris_tpu.render.relight import (
     RelightScene, build_relight_scene, make_disco_ball, relight_path_tracing,
+    set_disco_phase,
 )
 from iris_tpu.train.checkpoint import load_pytree
 from iris_tpu.utils.image import save_image
@@ -127,23 +128,36 @@ def main(argv=None):
         rays_list = [dataset.frame(i)["rays"] for i in range(len(dataset))]
 
     os.makedirs(args.output_path, exist_ok=True)
+
+    # Build every BVH exactly ONCE: the disco ball (if any) goes into its
+    # own small dynamic sub-scene animated per frame by a ray-space rotation
+    # (set_disco_phase), and the jitted renderer is hoisted out of the frame
+    # loop — frames differ only in array data, so there is ONE compile for
+    # the whole video (reference render_relight.py:265-296 rebuilds the
+    # mitsuba scene per frame instead).
+    base_spots = None
+    if args.disco:
+        disco_shapes, base_spots = make_disco_ball(
+            args.disco_position, args.disco_radius,
+            light_intensity=20.0, phase=0.0)
+        scene0 = build_relight_scene(
+            shapes, ngp=ngp, main_is_emitter=is_em,
+            main_emitter_radiance=em_rad, dynamic_shapes=disco_shapes,
+            dynamic_center=args.disco_position)
+    else:
+        scene0 = build_relight_scene(shapes, ngp=ngp, main_is_emitter=is_em,
+                                     main_emitter_radiance=em_rad)
+
+    render = jax.jit(functools.partial(
+        relight_path_tracing, spp=args.spp, max_depth=max_depth))
+
     frames = []
     for i, rays in enumerate(rays_list):
-        frame_shapes = list(shapes)
-        spots = None
         if args.disco:
             phase = 2 * np.pi * i / args.disco_T
-            disco_shapes, spots = make_disco_ball(
-                args.disco_position, args.disco_radius,
-                light_intensity=20.0, phase=phase)
-            frame_shapes += disco_shapes
-        scene = build_relight_scene(frame_shapes, ngp=ngp,
-                                    main_is_emitter=is_em,
-                                    main_emitter_radiance=em_rad)
-        scene = dc_replace(scene, spots=spots)
-
-        render = jax.jit(functools.partial(
-            relight_path_tracing, spp=args.spp, max_depth=max_depth))
+            scene = set_disco_phase(scene0, base_spots, phase)
+        else:
+            scene = scene0
         r = jnp.asarray(rays)
         l = np.zeros((r.shape[0], 3), np.float32)
         n_rounds = max(args.SPP // args.spp, 1)

@@ -122,6 +122,73 @@ class RelightScene:
     face_use_ngp: jnp.ndarray     # (F,) bool
     ngp: NGPBRDF | None
     spots: SpotLights | None
+    # Optional rigid-animated sub-scene (e.g. the disco ball): its own small
+    # BVH built ONCE at phase 0; per-frame motion is a rotation applied to
+    # the RAYS (world->local) instead of rebuilding any BVH. Face ids of the
+    # dynamic soup live at [dyn_face_offset, F) in the per-face arrays.
+    dyn_tracer: Tracer | None = None
+    dyn_center: jnp.ndarray | None = None   # (3,) rotation pivot
+    dyn_rot: jnp.ndarray | None = None      # (3,3) local->world rotation
+    dyn_face_offset: int = field(default=0, metadata=dict(static=True))
+
+
+def scene_intersect(scene: RelightScene, o, d):
+    """Nearest hit over static + (optionally) rigid-animated geometry.
+
+    The dynamic soup is intersected in its local frame by transforming the
+    rays (local = R^T(world - c) + c) — zero per-frame BVH work — and hit
+    position/normal are rotated back to world."""
+    pos, nrm, uv, tri, valid = ray_intersect(scene.tracer, o, d)
+    if scene.dyn_tracer is None:
+        return pos, nrm, uv, tri, valid
+    c, r = scene.dyn_center, scene.dyn_rot
+    o_l = (o - c) @ r + c
+    d_l = d @ r
+    p2, n2, uv2, t2, v2 = ray_intersect(scene.dyn_tracer, o_l, d_l)
+    p2 = (p2 - c) @ r.T + c
+    n2 = n2 @ r.T
+    d1 = jnp.sum((pos - o) ** 2, -1)
+    d2 = jnp.sum((p2 - o) ** 2, -1)
+    use2 = v2 & ((~valid) | (d2 < d1))
+    u2 = use2[:, None]
+    return (jnp.where(u2, p2, pos), jnp.where(u2, n2, nrm),
+            jnp.where(u2, uv2, uv),
+            jnp.where(use2, t2 + scene.dyn_face_offset, tri),
+            valid | v2)
+
+
+def _rot_z(phase):
+    c, s = jnp.cos(phase), jnp.sin(phase)
+    return jnp.asarray([[c, -s, 0.0], [s, c, 0.0], [0.0, 0.0, 1.0]])
+
+
+def set_disco_phase(base: RelightScene, base_spots: SpotLights | None,
+                    phase) -> RelightScene:
+    """Per-frame disco-ball pose: rotate the dynamic sub-scene by `phase`
+    about its center (pure data updates — same pytree structure, so the
+    jitted renderer never recompiles; reference disco_ball.py regenerates
+    the lattice per frame instead)."""
+    assert base.dyn_tracer is not None
+    rot = _rot_z(jnp.asarray(phase, jnp.float32))
+    c = base.dyn_center
+    em = base.emitter
+    dyn = (em.triangle_idx >= base.dyn_face_offset)[:, None, None]
+    v = em.emitter_vertices
+    v_w = jnp.where(dyn, (v - c) @ rot.T + c, v)
+    em = Emitter(em.is_emitter, em.emitter_idx, em.triangle_idx,
+                 v_w, em.emitter_area, em.radiance, em.emitter_pdf,
+                 em.emitter_cdf, em.slf)
+    spots = None
+    if base_spots is not None and base_spots.position.shape[0] > 0:
+        spots = SpotLights(
+            position=(base_spots.position - c) @ rot.T + c,
+            direction=base_spots.direction @ rot.T,
+            intensity=base_spots.intensity,
+            cutoff_cos=base_spots.cutoff_cos,
+            beam_cos=base_spots.beam_cos,
+        )
+    from dataclasses import replace as dc_replace
+    return dc_replace(base, emitter=em, spots=spots, dyn_rot=rot)
 
 
 def empty_spots() -> SpotLights:
@@ -135,6 +202,8 @@ def build_relight_scene(
     ngp: NGPBRDF | None = None,
     main_is_emitter: np.ndarray | None = None,
     main_emitter_radiance: np.ndarray | None = None,
+    dynamic_shapes: list[dict] | None = None,
+    dynamic_center=None,
 ) -> RelightScene:
     """shapes: list of dicts with keys
       kind: 'mesh'|'sphere', tris (mesh) or to_world (sphere),
@@ -142,14 +211,23 @@ def build_relight_scene(
              'roughness': float}
       emitter: None | {'radiance': rgb}
     Spot lights are passed separately via add-on (see load_scene_yaml).
+
+    dynamic_shapes (e.g. the disco ball at phase 0) get their OWN small BVH
+    and are animated per frame by set_disco_phase — the main-scene BVH is
+    built exactly once per run.
     """
     all_tris, alb, rough, metal, use_ngp = [], [], [], [], []
     is_em, radiance = [], []
-    for sh in shapes:
+    n_static_shapes = len(shapes)
+    shapes = list(shapes) + list(dynamic_shapes or [])
+    n_static_faces = 0
+    for shape_i, sh in enumerate(shapes):
         tris = sh["tris"] if sh["kind"] == "mesh" else apply_to_world(
             icosphere(sh.get("subdiv", 2)), sh["to_world"])
         f = len(tris)
         all_tris.append(tris)
+        if shape_i < n_static_shapes:
+            n_static_faces += f
         bsdf = sh.get("bsdf", {"type": "diffuse", "reflectance": [0, 0, 0]})
         kind = bsdf.get("type", "diffuse")
         if kind == "fipt":
@@ -192,8 +270,15 @@ def build_relight_scene(
     rad_per_face = np.concatenate(radiance, 0)
     emitter = make_emitter(is_em, tris, radiance=rad_per_face[is_em]
                            if is_em.any() else None)
+    dyn_tracer = dyn_center = None
+    if dynamic_shapes:
+        dyn_tris = tris[n_static_faces:]
+        dyn_tracer = build_bvh(dyn_tris)
+        if dynamic_center is None:
+            dynamic_center = dyn_tris.reshape(-1, 3).mean(0)
+        dyn_center = jnp.asarray(dynamic_center, jnp.float32)
     return RelightScene(
-        tracer=build_bvh(tris),
+        tracer=build_bvh(tris[:n_static_faces]),
         emitter=emitter,
         face_albedo=jnp.asarray(np.concatenate(alb, 0)),
         face_roughness=jnp.asarray(np.concatenate(rough, 0)),
@@ -201,6 +286,10 @@ def build_relight_scene(
         face_use_ngp=jnp.asarray(np.concatenate(use_ngp)),
         ngp=ngp,
         spots=None,
+        dyn_tracer=dyn_tracer,
+        dyn_center=dyn_center,
+        dyn_rot=jnp.eye(3) if dyn_tracer is not None else None,
+        dyn_face_offset=n_static_faces,
     )
 
 
@@ -221,10 +310,14 @@ def _surface_mat(scene: RelightScene, position, tri_idx):
 
 
 def _spot_nee(scene: RelightScene, position, wo, normal, mat, active):
-    """Delta spot-light NEE: sum over all spots (S is small)."""
+    """Delta spot-light NEE: ALL spot shadow rays batched into ONE
+    (S*B)-ray traversal (keeps the union-traversal tiles fed; the naive
+    per-spot loop costs S full launches per bounce)."""
     spots = scene.spots
     if spots is None or spots.position.shape[0] == 0:
         return jnp.zeros_like(position)
+    b = position.shape[0]
+    s = spots.position.shape[0]
     delta = spots.position[None] - position[:, None]        # (B, S, 3)
     dist2 = jnp.maximum(jnp.sum(delta ** 2, -1), 1e-8)       # (B, S)
     wi = delta / jnp.sqrt(dist2)[..., None]
@@ -233,26 +326,23 @@ def _spot_nee(scene: RelightScene, position, wo, normal, mat, active):
     t = (cos_d - spots.cutoff_cos[None]) / jnp.maximum(
         spots.beam_cos[None] - spots.cutoff_cos[None], 1e-6)
     falloff = jnp.clip(t, 0.0, 1.0)
-    b, s = dist2.shape
-    contrib = jnp.zeros_like(position)
-    for si in range(spots.position.shape[0]):
-        w = wi[:, si]
-        # visibility
-        _, _, _, tri, vis_hit = ray_intersect(
-            scene.tracer, position + RAY_EPS * w, w)
-        # occluded if a hit is closer than the light
-        hit_t = jnp.sum((position - position) ** 2, -1)  # placeholder 0
-        # use distance comparison via hit position
-        hit_pos, _, _, tri2, valid2 = ray_intersect(
-            scene.tracer, position + RAY_EPS * w, w)
-        hit_d2 = jnp.sum((hit_pos - position) ** 2, -1)
-        visible = (~valid2) | (hit_d2 >= dist2[:, si] - 1e-4)
-        brdf, _ = B.eval_brdf(w, wo, normal, mat)
-        li = spots.intensity[si][None] * falloff[:, si: si + 1] / \
-            dist2[:, si: si + 1]
-        contrib = contrib + jnp.where(
-            (active & visible)[:, None], brdf * li, 0.0)
-    return contrib
+
+    w_flat = wi.transpose(1, 0, 2).reshape(-1, 3)            # (S*B, 3)
+    pos_flat = jnp.tile(position, (s, 1))
+    hit_pos, _, _, _, hit_valid = scene_intersect(
+        scene, pos_flat + RAY_EPS * w_flat, w_flat)
+    hit_d2 = jnp.sum((hit_pos - pos_flat) ** 2, -1)
+    d2_flat = dist2.T.reshape(-1)
+    visible = (~hit_valid) | (hit_d2 >= d2_flat - 1e-4)      # (S*B,)
+
+    brdf, _ = B.eval_brdf(w_flat, jnp.tile(wo, (s, 1)),
+                          jnp.tile(normal, (s, 1)),
+                          {k: jnp.tile(v, (s, 1)) for k, v in mat.items()})
+    li = jnp.repeat(spots.intensity, b, axis=0) \
+        * falloff.T.reshape(-1, 1) / d2_flat[:, None]
+    gate = (jnp.tile(active, (s,)) & visible)[:, None]
+    contrib = jnp.where(gate, brdf * li, 0.0)
+    return contrib.reshape(s, b, 3).sum(0)
 
 
 def relight_path_tracing(
@@ -271,8 +361,7 @@ def relight_path_tracing(
     position = jnp.repeat(rays_o, spp, axis=0)
     n = position.shape[0]
 
-    position, normal, _, tri, valid = ray_intersect(scene.tracer, position,
-                                                    wi)
+    position, normal, _, tri, valid = scene_intersect(scene, position, wi)
     le0, _, valid_next = eval_emitter(scene.emitter, position, wi, tri)
     l = le0
     active = valid_next
@@ -289,8 +378,8 @@ def relight_path_tracing(
         s2 = jax.random.uniform(k2, (n, 2))
         from iris_tpu.models.emitter import sample_emitter
         wi_e, e_pdf, e_tri = sample_emitter(scene.emitter, s1, s2, position)
-        e_pos, e_nrm, _, hit_tri, e_valid = ray_intersect(
-            scene.tracer, position + RAY_EPS * wi_e, wi_e)
+        e_pos, e_nrm, _, hit_tri, e_valid = scene_intersect(
+            scene, position + RAY_EPS * wi_e, wi_e)
         e_vis = (~e_valid) | (e_tri == hit_tri)
         e_weight, _, _ = eval_emitter(scene.emitter, e_pos, wi_e, hit_tri)
         g = jnp.abs(dot(-wi_e, e_nrm, keepdims=False)) / jnp.maximum(
@@ -311,8 +400,8 @@ def relight_path_tracing(
         s1b = jax.random.uniform(k3, (n,))
         s2b = jax.random.uniform(k4, (n, 2))
         wi_b, b_pdf2, b_weight = B.sample_brdf(s1b, s2b, wo, normal, mat)
-        p_next, nrm_next, _, tri_next, _ = ray_intersect(
-            scene.tracer, position + RAY_EPS * wi_b, wi_b)
+        p_next, nrm_next, _, tri_next, _ = scene_intersect(
+            scene, position + RAY_EPS * wi_b, wi_b)
         le, e_pdf2, valid_next = eval_emitter(scene.emitter, p_next, wi_b,
                                               tri_next)
         g2 = jnp.abs(dot(-nrm_next, wi_b, keepdims=False)) / jnp.maximum(
