@@ -47,10 +47,17 @@ def main():
     from iris_tpu.models.crf import crf_forward
     from iris_tpu.render.integrator import path_tracing_single
 
+    from dataclasses import replace as _dcr
+
     tracer, em, ngp, crf, _ = make_demo_scene(
         n_clutter=32, slf_res=64, hash_levels=HASH_LEVELS,
         log2_table=LOG2_TABLE,
     )
+    # flagship TRAIN config: stochastic-corner fwd+bwd (unbiased; quality
+    # validated against exact training — see PERF.md). Eval/render paths
+    # pass no key and stay exact.
+    ngp = _dcr(ngp, cfg=_dcr(ngp.cfg, stochastic_fwd=True,
+                             stochastic_bwd=True))
     n_side = int(BATCH ** 0.5)
     o, d, dxdu, dydv = camera_rays(n_side)
     b = o.shape[0]

@@ -87,7 +87,11 @@ def load_emitter(path: str, mesh: Mesh, slf: VoxelSLF | None = None
 
 def build_material(args, voxel_min, voxel_max, key=None) -> NGPBRDF:
     cfg = HashGridConfig(n_levels=args.hash_levels,
-                         log2_table_size=args.log2_hashmap_size)
+                         log2_table_size=args.log2_hashmap_size,
+                         stochastic_bwd=bool(
+                             getattr(args, "stochastic_bwd", 1)),
+                         stochastic_fwd=bool(
+                             getattr(args, "stochastic_fwd", 1)))
     key = key if key is not None else jax.random.PRNGKey(0)
     return init_ngp_brdf(key, voxel_min, voxel_max, cfg)
 

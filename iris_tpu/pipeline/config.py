@@ -47,6 +47,13 @@ default_options = {
     "n_devices": {"type": int, "default": None},
     "hash_levels": {"type": int, "default": 32},
     "log2_hashmap_size": {"type": int, "default": 19},
+    # hash-grid gradient/forward estimators for TRAINING (see
+    # models/hashgrid.py): stochastic_bwd is unbiased with exact forward;
+    # stochastic_fwd also single-corner-samples the encode forward (8x
+    # fewer latency-bound gathers; adds MC feature noise during training
+    # only — eval/render paths never pass a key and stay exact)
+    "stochastic_bwd": {"type": int, "default": 1},
+    "stochastic_fwd": {"type": int, "default": 1},
     "max_segments": {"type": int, "default": 128},
 }
 

@@ -26,7 +26,7 @@ from iris_tpu.pipeline.config import add_model_specific_args
 from iris_tpu.train.checkpoint import load_pytree, save_pytree
 from iris_tpu.train.loop import run_training
 from iris_tpu.train.optim import make_optimizer
-from iris_tpu.train.steps import LossConfig, make_initialize_loss
+from iris_tpu.train.steps import LossConfig, make_initialize_loss, check_max_segments
 
 
 def main(argv=None):
@@ -62,6 +62,7 @@ def main(argv=None):
     bank = dataset.pixel_bank(keys=("rays", "rgbs", "segmentation",
                                     "int_albedo"))
     batcher = RayBatcher(bank, args.batch_size)
+    check_max_segments(bank["segmentation"], args.max_segments)
 
     cfg = LossConfig(
         spp=args.spp, n_spp_rounds=max(args.SPP // args.spp, 1),

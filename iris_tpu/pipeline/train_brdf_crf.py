@@ -25,7 +25,7 @@ from iris_tpu.pipeline.config import add_model_specific_args
 from iris_tpu.train.checkpoint import load_pytree, save_pytree
 from iris_tpu.train.loop import run_training
 from iris_tpu.train.optim import make_optimizer
-from iris_tpu.train.steps import LossConfig, make_brdf_crf_loss
+from iris_tpu.train.steps import LossConfig, make_brdf_crf_loss, check_max_segments
 
 
 def main(argv=None):
@@ -70,6 +70,7 @@ def main(argv=None):
                                     "int_albedo", "diffuse", "specular0",
                                     "specular1"))
     batcher = RayBatcher(bank, args.batch_size)
+    check_max_segments(bank["segmentation"], args.max_segments)
 
     cfg = LossConfig(
         ld=args.ld, lp=args.lp, ls=args.ls, la=args.la,

@@ -51,11 +51,72 @@ class LossConfig:
     l_crf_weight: float = 0.001
     max_segments: int = 128        # static segment-id bound
     has_part: bool = True
-    n_pairs: int = 16              # partner samples for semantic propagation
+    n_pairs: int = 256             # within-segment partner samples for the
+                                   # semantic propagation loss (reference
+                                   # uses 1024; 256 keeps the estimator
+                                   # variance low at fixed-shape cost)
 
 
 def _seg_ids(segmentation, max_segments):
     return jnp.clip(segmentation.astype(jnp.int32), 0, max_segments - 1)
+
+
+def check_max_segments(segmentation, max_segments: int):
+    """Host-side guard: ids beyond max_segments would silently alias into
+    bucket max_segments-1 inside the jitted losses, corrupting every
+    segment-propagation term. Call once per dataset before training."""
+    import numpy as np
+
+    top = int(np.asarray(segmentation).max()) if len(segmentation) else 0
+    if top >= max_segments:
+        raise ValueError(
+            f"dataset has segment id {top} >= max_segments={max_segments}; "
+            f"raise --max_segments to at least {top + 1}")
+
+
+def propagation_loss(key, seg, valid, pos_n, albedo_d, roughness, metallic,
+                     cfg: "LossConfig"):
+    """Reference train_brdf_crf.py:240-290 as a fixed-shape estimator.
+
+    Per pixel: cfg.n_pairs partners drawn uniformly (with replacement) from
+    the VALID pixels of the SAME segment, bilateral weights
+    exp(-|da|^2/2sa^2)*exp(-|dp|^2/2sp^2), weighted roughness/metallic
+    means (denominator floor 1e-4 like the reference init), per-pixel L1 to
+    the mean, per-segment mean, summed.
+
+    Within-segment sampling with static shapes: sort pixels by segment id
+    (invalid pixels get a sentinel id so they sort last and are never
+    sampled), then each pixel's segment is the contiguous run
+    [searchsorted-left, searchsorted-right) of the sorted keys — a partner
+    is start + floor(u * count).
+    """
+    b = seg.shape[0]
+    sentinel = cfg.max_segments
+    sort_key = jnp.where(valid, seg, sentinel)
+    order = jnp.argsort(sort_key)
+    sorted_key = sort_key[order]
+    start = jnp.searchsorted(sorted_key, sort_key, side="left")
+    count = jnp.searchsorted(sorted_key, sort_key, side="right") - start
+
+    u = jax.random.uniform(key, (b, cfg.n_pairs))
+    j_sorted = start[:, None] + jnp.minimum(
+        (u * count[:, None]).astype(jnp.int32),
+        jnp.maximum(count[:, None] - 1, 0))
+    j = order[j_sorted]                                   # (B, P) originals
+
+    w_alb = jnp.exp(-jnp.sum((albedo_d[:, None] - albedo_d[j]) ** 2, -1)
+                    / cfg.sigma_albedo ** 2 / 2.0)
+    w_pos = jnp.exp(-jnp.sum((pos_n[:, None] - pos_n[j]) ** 2, -1)
+                    / cfg.sigma_pos ** 2 / 2.0)
+    wij = w_alb * w_pos
+    denom = jnp.sum(wij, -1) + 1e-4
+    mean_r = jnp.sum(wij * roughness[j], -1) / denom
+    mean_m = jnp.sum(wij * metallic[j], -1) / denom
+    per_pix = jnp.abs(mean_r - roughness) + jnp.abs(mean_m - metallic)
+    w = valid.astype(jnp.float32)
+    seg_loss, _ = segment_mean(per_pix, _seg_ids(seg, cfg.max_segments),
+                               cfg.max_segments, w)
+    return jnp.sum(seg_loss)
 
 
 def make_initialize_loss(tracer, em_template, crf: EmorCRF, cfg: LossConfig):
@@ -180,27 +241,14 @@ def make_brdf_crf_loss(tracer, crf_template: EmorCRF, cfg: LossConfig,
                 + _wmean(jnp.abs(roughness[:, 0] - mean_r), w)
             )
         else:
-            # semantic propagation: bilateral-weighted in-segment means via
-            # fixed per-pixel partner sampling (:240-290)
-            b = positions.shape[0]
+            # semantic propagation: bilateral-weighted WITHIN-SEGMENT means
+            # via segment-sorted partner sampling (reference :240-290 samples
+            # 1024 partners inside each segment; the round-1 uniform-batch
+            # sampler wasted almost all pairs on the same-segment gate).
             pos_n = (positions - voxel_min) / (voxel_max - voxel_min) * 2 - 1
-            j = jax.random.randint(key, (b, cfg.n_pairs), 0, b)
-            alb_d = jax.lax.stop_gradient(albedo)
-            w_alb = jnp.exp(-jnp.sum(
-                (alb_d[:, None] - alb_d[j]) ** 2, -1
-            ) / cfg.sigma_albedo ** 2 / 2.0)
-            w_pos = jnp.exp(-jnp.sum(
-                (pos_n[:, None] - pos_n[j]) ** 2, -1
-            ) / cfg.sigma_pos ** 2 / 2.0)
-            same = (seg[:, None] == seg[j]) & valid[j] & valid[:, None]
-            wij = w_alb * w_pos * same
-            denom = jnp.sum(wij, -1) + 1e-4
-            mean_r = jnp.sum(wij * roughness[j, 0], -1) / denom
-            mean_m = jnp.sum(wij * metallic[j, 0], -1) / denom
-            per_pix = jnp.abs(mean_r - roughness[:, 0]) \
-                + jnp.abs(mean_m - metallic[:, 0])
-            seg_loss, _ = segment_mean(per_pix, seg, cfg.max_segments, w)
-            loss_seg = cfg.ls * jnp.sum(seg_loss)
+            loss_seg = cfg.ls * propagation_loss(
+                key, seg, valid, pos_n, jax.lax.stop_gradient(albedo),
+                roughness[:, 0], metallic[:, 0], cfg)
 
         # albedo anchor (:292-306)
         if cfg.la > 0:

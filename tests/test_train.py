@@ -106,3 +106,61 @@ def test_graft_dryrun_multichip():
     import __graft_entry__ as ge
 
     ge.dryrun_multichip(8)
+
+
+def _propagation_oracle(seg, valid, pos_n, alb, rough, metal, cfg):
+    """Direct port of the reference within-segment propagation loss
+    (train_brdf_crf.py:240-290) with ALL pairs (exact, small segments):
+    the fixed-shape JAX estimator must converge to this."""
+    idx = np.where(valid)[0]
+    total = 0.0
+    n_seg = 0
+    for s in np.unique(seg[idx]):
+        i = idx[seg[idx] == s]
+        da = alb[i][:, None] - alb[i][None]              # (c, c, 3)
+        dp = pos_n[i][:, None] - pos_n[i][None]
+        w = np.exp(-(da ** 2).sum(-1) / cfg.sigma_albedo ** 2 / 2.0) \
+            * np.exp(-(dp ** 2).sum(-1) / cfg.sigma_pos ** 2 / 2.0)
+        denom = w.sum(-1) + 1e-4
+        mean_r = (w * rough[i][None]).sum(-1) / denom
+        mean_m = (w * metal[i][None]).sum(-1) / denom
+        per_pix = np.abs(mean_r - rough[i]) + np.abs(mean_m - metal[i])
+        total += per_pix.mean()
+        n_seg += 1
+    return total
+
+
+def test_propagation_loss_matches_reference_oracle():
+    from iris_tpu.train.steps import propagation_loss
+
+    rng = np.random.default_rng(0)
+    b = 512
+    seg = rng.integers(0, 6, b)
+    valid = rng.uniform(size=b) > 0.15
+    pos = rng.uniform(-1, 1, (b, 3)).astype(np.float32)
+    alb = rng.uniform(0, 1, (b, 3)).astype(np.float32)
+    rough = rng.uniform(0, 1, b).astype(np.float32)
+    metal = rng.uniform(0, 1, b).astype(np.float32)
+    cfg = LossConfig(max_segments=8, n_pairs=512, sigma_albedo=0.3,
+                     sigma_pos=0.5)
+
+    expected = _propagation_oracle(seg, valid, pos, alb, rough, metal, cfg)
+
+    vals = []
+    f = jax.jit(lambda k: propagation_loss(
+        k, jnp.asarray(seg, jnp.int32), jnp.asarray(valid),
+        jnp.asarray(pos), jnp.asarray(alb), jnp.asarray(rough),
+        jnp.asarray(metal), cfg))
+    for i in range(8):
+        vals.append(float(f(jax.random.PRNGKey(i))))
+    got = np.mean(vals)
+    assert abs(got - expected) / expected < 0.05, (got, expected)
+
+
+def test_check_max_segments_guard():
+    from iris_tpu.train.steps import check_max_segments
+
+    check_max_segments(np.asarray([0, 3, 7]), 8)
+    import pytest
+    with pytest.raises(ValueError, match="max_segments"):
+        check_max_segments(np.asarray([0, 3, 8]), 8)
