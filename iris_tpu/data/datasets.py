@@ -392,9 +392,17 @@ class RayBatcher:
         return {k: v[sel] for k, v in self.bank.items()}
 
     def __iter__(self):
-        step = 0
+        return self.iter_from(0)
+
+    def iter_from(self, start_step: int = 0):
+        """Batch stream positioned at start_step: replays the per-epoch
+        resamples a fresh run would have consumed, so a resumed run sees
+        the exact same batches as an uninterrupted one."""
+        for _ in range(start_step // self.batches_per_epoch):
+            self.resample()
+        step = start_step
         while True:
-            if step % self.batches_per_epoch == 0 and step > 0:
+            if step % self.batches_per_epoch == 0 and step > start_step:
                 self.resample()
             yield self.batch(step)
             step += 1

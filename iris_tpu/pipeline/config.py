@@ -55,6 +55,8 @@ default_options = {
     "stochastic_bwd": {"type": int, "default": 1},
     "stochastic_fwd": {"type": int, "default": 1},
     "max_segments": {"type": int, "default": 128},
+    # periodic full-state checkpoint cadence (steps) for kill-and-resume
+    "save_every": {"type": int, "default": 1000},
 }
 
 

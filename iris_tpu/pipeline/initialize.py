@@ -23,7 +23,9 @@ from iris_tpu.pipeline.common import (
     make_dataset,
 )
 from iris_tpu.pipeline.config import add_model_specific_args
-from iris_tpu.train.checkpoint import load_pytree, save_pytree
+from iris_tpu.train.checkpoint import (
+    load_pytree, load_train_state, make_state_saver, save_pytree,
+)
 from iris_tpu.train.loop import run_training
 from iris_tpu.train.optim import make_optimizer
 from iris_tpu.train.steps import LossConfig, make_initialize_loss, check_max_segments
@@ -53,9 +55,12 @@ def main(argv=None):
                               float(slf.voxel_max))
     params = {"material": material, "radiance": em.radiance}
     out = ckpt_path(args.checkpoint_path, args.experiment_name)
-    if args.resume and os.path.exists(out):
-        params = load_pytree(out)
-        print("[initialize] resumed from", out)
+    state_out = ckpt_path(args.checkpoint_path, args.experiment_name,
+                          "last_state.pkl")
+    opt_state, start_step = None, 0
+    if args.resume:
+        params, opt_state, start_step = load_train_state(state_out, out,
+                                                         params)
 
     dataset = make_dataset(args, "train", load_inverse=True,
                            has_part=bool(args.has_part))
@@ -90,10 +95,16 @@ def main(argv=None):
         print("[initialize] no validation split:", e)
 
     t0 = time.time()
-    params = run_training(loss_fn, params, iter(batcher), optimizer,
-                          args.max_steps, jax.random.PRNGKey(0),
-                          mesh=mesh_dev, hooks=hooks)
+    params, opt_state = run_training(
+        loss_fn, params, batcher.iter_from(start_step), optimizer,
+        args.max_steps, jax.random.PRNGKey(0), mesh=mesh_dev, hooks=hooks,
+        opt_state=opt_state, start_step=start_step,
+        state_hooks=[make_state_saver(state_out, args.save_every)],
+        return_state=True)
     save_pytree(out, jax.device_get(params))
+    save_pytree(state_out, {"params": jax.device_get(params),
+                            "opt_state": jax.device_get(opt_state),
+                            "step": args.max_steps})
     print(f"[train - BRDF-emission] time (s): {time.time() - t0:.1f}")
     print("[initialize] saved", out)
 

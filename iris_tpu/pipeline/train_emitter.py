@@ -22,7 +22,9 @@ from iris_tpu.pipeline.common import (
     make_dataset,
 )
 from iris_tpu.pipeline.config import add_model_specific_args
-from iris_tpu.train.checkpoint import load_pytree, save_pytree
+from iris_tpu.train.checkpoint import (
+    load_pytree, load_train_state, make_state_saver, save_pytree,
+)
 from iris_tpu.train.loop import run_training
 from iris_tpu.train.optim import make_optimizer
 from iris_tpu.train.steps import LossConfig, make_train_emitter_loss
@@ -58,8 +60,12 @@ def main(argv=None):
     params = {"radiance": em.radiance}
     out = ckpt_path(args.checkpoint_path, args.experiment_name,
                     "emitter_last.pkl")
-    if args.resume and os.path.exists(out):
-        params = load_pytree(out)
+    state_out = ckpt_path(args.checkpoint_path, args.experiment_name,
+                          "emitter_last_state.pkl")
+    opt_state, start_step = None, 0
+    if args.resume:
+        params, opt_state, start_step = load_train_state(state_out, out,
+                                                         params)
 
     dataset = make_dataset(args, "train")
     bank = dataset.pixel_bank(keys=("rays", "rgbs"))
@@ -75,10 +81,17 @@ def main(argv=None):
     hooks = [ScalarLogger(os.path.join("outputs", args.experiment_name,
                                        "train_log.jsonl"))]
     t0 = time.time()
-    params = run_training(loss_fn, params, iter(batcher), optimizer,
-                          args.max_steps, jax.random.PRNGKey(0),
-                          mesh=data_mesh(args.n_devices), hooks=hooks)
+    params, opt_state = run_training(
+        loss_fn, params, batcher.iter_from(start_step), optimizer,
+        args.max_steps, jax.random.PRNGKey(0),
+        mesh=data_mesh(args.n_devices), hooks=hooks,
+        opt_state=opt_state, start_step=start_step,
+        state_hooks=[make_state_saver(state_out, args.save_every)],
+        return_state=True)
     save_pytree(out, jax.device_get(params))
+    save_pytree(state_out, {"params": jax.device_get(params),
+                            "opt_state": jax.device_get(opt_state),
+                            "step": args.max_steps})
     print(f"[train - emitter] time (s): {time.time() - t0:.1f}")
     print("[train_emitter] saved", out)
 

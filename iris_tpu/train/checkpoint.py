@@ -33,6 +33,34 @@ def load_pytree(path: str):
     return jax.tree_util.tree_unflatten(blob["treedef"], leaves)
 
 
+def make_state_saver(path: str, every: int = 1000):
+    """state_hook for run_training: periodically persist the FULL training
+    state {params, opt_state, step} so kill-and-resume reproduces the
+    uninterrupted run (reference Lightning resume restores optimizer state
+    and step too, train_brdf_crf.py:541-545)."""
+
+    def hook(step, params, opt_state):
+        if (step + 1) % every == 0:
+            save_pytree(path, {"params": params, "opt_state": opt_state,
+                               "step": np.int64(step + 1)})
+    return hook
+
+
+def load_train_state(state_path: str, params_path: str, params):
+    """Resume helper: full state if present, else legacy params-only, else
+    the given fresh params. Returns (params, opt_state|None, start_step)."""
+    if os.path.exists(state_path):
+        st = load_pytree(state_path)
+        print(f"[resume] full state from {state_path} "
+              f"(step {int(st['step'])})")
+        return st["params"], st["opt_state"], int(st["step"])
+    if os.path.exists(params_path):
+        print(f"[resume] params only from {params_path} "
+              "(optimizer state reset)")
+        return load_pytree(params_path), None, 0
+    return params, None, 0
+
+
 def load_into(path: str, template):
     """Restore leaves into an existing pytree structure (shape-checked)."""
     loaded = load_pytree(path)

@@ -60,18 +60,33 @@ def run_training(
     log_every: int = 50,
     log_fn: Callable | None = print,
     hooks: list | None = None,
+    opt_state=None,
+    start_step: int = 0,
+    state_hooks: list | None = None,
+    return_state: bool = False,
 ):
-    """Drive training for n_steps over `batches` (an iterator of pytrees with
-    leading batch axis). Returns final params."""
+    """Drive training for steps [start_step, n_steps) over `batches` (an
+    iterator of pytrees with leading batch axis, already positioned at
+    start_step — see RayBatcher.iter_from).
+
+    Full-state resume (reference Lightning resume, train_brdf_crf.py:541-545):
+    pass the restored `opt_state` and `start_step`; the per-step
+    jax.random.fold_in(key, step) keying makes the resumed stream identical
+    to an uninterrupted run. state_hooks are called as h(step, params,
+    opt_state) every step (each hook picks its own cadence).
+
+    Returns params, or (params, opt_state) with return_state=True."""
     if mesh is None:
         mesh = data_mesh()
-    opt_state = optimizer.init(params)
+    if opt_state is None:
+        opt_state = optimizer.init(params)
+    opt_state = replicate(mesh, opt_state)
     params = replicate(mesh, params)
     step_fn = make_train_step(loss_fn, optimizer, mesh)
 
     t0 = time.time()
     it = iter(batches)
-    for step in range(n_steps):
+    for step in range(start_step, n_steps):
         batch = next(it)
         batch = jax.tree_util.tree_map(lambda x: shard_batch(mesh, x), batch)
         k = jax.random.fold_in(key, step)
@@ -79,10 +94,15 @@ def run_training(
         if hooks:
             for h in hooks:
                 h(step, params, loss, aux)
+        if state_hooks:
+            for h in state_hooks:
+                h(step, params, opt_state)
         if log_fn and (step % log_every == 0 or step == n_steps - 1):
             lv = float(loss)
             msg = f"step {step:6d}  loss {lv:.6f}  " + "  ".join(
                 f"{k_}={float(v):.5f}" for k_, v in (aux or {}).items()
             ) + f"  [{time.time() - t0:.1f}s]"
             log_fn(msg)
+    if return_state:
+        return params, opt_state
     return params
