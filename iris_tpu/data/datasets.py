@@ -82,21 +82,91 @@ class _BaseDataset:
         for i in range(self.n_frames):
             yield self.frame(i)
 
-    def pixel_bank(self, keys=("rays", "rgbs")) -> dict:
-        """Concatenate the requested per-frame arrays over all frames."""
-        banks: dict[str, list] = {k: [] for k in keys}
-        has_exposure = self.exposures is not None
-        if has_exposure:
-            banks["exposure"] = []
+    def pixel_bank(self, keys=("rays", "rgbs"), memmap_dir: str | None = None,
+                   max_ram_bytes: int | None = None) -> dict:
+        """All per-frame arrays concatenated into flat per-key banks.
+
+        Small datasets stay in RAM (as before). When the bank exceeds
+        `max_ram_bytes` (default 8 GB, env IRIS_TPU_BANK_RAM_LIMIT), or
+        `memmap_dir` is given, each key becomes a disk-backed np.memmap —
+        a real 1000-frame ScanNet++ scene at full res is hundreds of GB,
+        which must never be materialized in host RAM (the reference
+        streams via DataLoader workers; here RayBatcher's random batch
+        indexing reads only the touched pages). A completed bank is
+        fingerprinted and reused across runs, skipping image decode."""
+        if max_ram_bytes is None:
+            max_ram_bytes = int(os.environ.get(
+                "IRIS_TPU_BANK_RAM_LIMIT", 8 << 30))
         hw = self.img_hw[0] * self.img_hw[1]
-        for i in range(self.n_frames):
-            fr = self.frame(i)
-            for k in keys:
-                banks[k].append(np.asarray(fr[k]))
-            if has_exposure:
-                banks["exposure"].append(
-                    np.full((hw, 1), self.exposures[i], np.float32))
-        return {k: np.concatenate(v, 0) for k, v in banks.items()}
+        n = self.n_frames * hw
+        has_exposure = self.exposures is not None
+
+        fr0 = self.frame(0)
+        all_keys = list(keys) + (["exposure"] if has_exposure else [])
+        shapes = {k: (n,) + tuple(np.asarray(fr0[k]).shape[1:])
+                  for k in keys}
+        if has_exposure:
+            shapes["exposure"] = (n, 1)
+        total = sum(int(np.prod(s)) * 4 for s in shapes.values())
+
+        def fill(banks):
+            for i in range(self.n_frames):
+                fr = fr0 if i == 0 else self.frame(i)
+                lo, hi = i * hw, (i + 1) * hw
+                for k in keys:
+                    banks[k][lo:hi] = np.asarray(fr[k], np.float32)
+                if has_exposure:
+                    banks["exposure"][lo:hi] = np.float32(self.exposures[i])
+
+        if memmap_dir is None and total <= max_ram_bytes:
+            banks = {k: np.empty(shapes[k], np.float32) for k in all_keys}
+            fill(banks)
+            return banks
+
+        # ---- disk-backed bank
+        import hashlib
+        import json as _json
+        import tempfile
+
+        src = getattr(self, "split_dir", None) or getattr(
+            self, "root_dir", "") or ""
+        tag = hashlib.sha1(repr(
+            (type(self).__name__, os.path.abspath(str(src)), self.img_hw,
+             self.n_frames, sorted(all_keys),
+             sorted(shapes.items()))).encode()).hexdigest()[:16]
+        d = memmap_dir or os.path.join(tempfile.gettempdir(),
+                                       "iris_tpu_banks", tag)
+        os.makedirs(d, exist_ok=True)
+        meta_p = os.path.join(d, "meta.json")
+        complete = False
+        if os.path.exists(meta_p):
+            try:
+                with open(meta_p) as f:
+                    meta = _json.load(f)
+                complete = (meta.get("complete")
+                            and meta.get("tag") == tag
+                            and all(os.path.exists(
+                                os.path.join(d, f"{k}.f32")) for k in
+                                all_keys))
+            except Exception:
+                complete = False
+        mode = "r+" if complete else "w+"
+        banks = {k: np.memmap(os.path.join(d, f"{k}.f32"), np.float32,
+                              mode=mode, shape=shapes[k])
+                 for k in all_keys}
+        if not complete:
+            print(f"[pixel_bank] building disk bank at {d} "
+                  f"({total / 2**30:.1f} GB)")
+            fill(banks)
+            for v in banks.values():
+                v.flush()
+            with open(meta_p, "w") as f:
+                _json.dump({"complete": True, "tag": tag,
+                            "shapes": {k: list(v) for k, v in
+                                       shapes.items()}}, f)
+        else:
+            print(f"[pixel_bank] reusing disk bank {d}")
+        return banks
 
 
 class SyntheticDataset(_BaseDataset):

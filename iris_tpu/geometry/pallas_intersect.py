@@ -126,10 +126,13 @@ def _kernel(rays_ref, nodes_ref, tris_ref, out_ref, *, leaf_size: int,
         jnp.full(tile, -1.0, jnp.float32),
     )
     _, t_best, u_b, v_b, f_b = jax.lax.while_loop(cond, body, init)
+    # 8 rows per tile (Mosaic requires sublane-divisible blocks): 4 results
+    # + 4 zero pad rows
     out_ref[0:1, :] = t_best
     out_ref[1:2, :] = u_b
     out_ref[2:3, :] = v_b
     out_ref[3:4, :] = f_b
+    out_ref[4:8, :] = jnp.zeros((4,) + t_best.shape[1:], jnp.float32)
 
 
 @functools.partial(jax.jit, static_argnames=("tile", "interpret"))
@@ -166,13 +169,13 @@ def pallas_ray_trace(tracer: Tracer, origins: jnp.ndarray,
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((4, tile), lambda i: (i, 0),
+        out_specs=pl.BlockSpec((8, tile), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((nt * 4, tile), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((nt * 8, tile), jnp.float32),
         interpret=interpret,
     )(rays, tracer.nodes, tracer.tris)
 
-    out = out.reshape(nt, 4, tile)
+    out = out.reshape(nt, 8, tile)
     t = out[:, 0].reshape(-1)[:B]
     u = out[:, 1].reshape(-1)[:B]
     v = out[:, 2].reshape(-1)[:B]

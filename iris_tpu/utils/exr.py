@@ -20,7 +20,8 @@ import numpy as np
 _MAGIC = 20000630
 _PT_UINT, _PT_HALF, _PT_FLOAT = 0, 1, 2
 _COMP_NONE, _COMP_RLE, _COMP_ZIPS, _COMP_ZIP, _COMP_PIZ = 0, 1, 2, 3, 4
-_BLOCK_LINES = {_COMP_NONE: 1, _COMP_ZIPS: 1, _COMP_ZIP: 16}
+_BLOCK_LINES = {_COMP_NONE: 1, _COMP_ZIPS: 1, _COMP_ZIP: 16,
+                _COMP_PIZ: 32}
 
 
 def _predictor_encode(data: np.ndarray) -> np.ndarray:
@@ -67,6 +68,51 @@ def _zip_decompress(blob: bytes, expected: int) -> bytes:
     return _predictor_decode(_reorder_merge(dec)).tobytes()
 
 
+def _piz_decompress(blob: bytes, lines: int, width: int,
+                    psizes: list[int]) -> bytes:
+    """PIZ block -> scanline-interleaved raw bytes, via the native codec
+    (csrc/exr_piz.cpp). Channel-major u16 planes are reordered here."""
+    from iris_tpu.utils.exr_native import get_lib, piz_uncompress
+
+    if get_lib() is None:
+        raise NotImplementedError(
+            "PIZ-compressed EXR needs the native codec; g++ not available "
+            "to build csrc/exr_piz.cpp")
+    sizes = [s // 2 for s in psizes]          # u16 words per pixel
+    nx = [width] * len(sizes)
+    ny = [lines] * len(sizes)
+    n_u16 = sum(width * lines * s for s in sizes)
+    planes = piz_uncompress(blob, n_u16, nx, ny, sizes)
+    rows = []
+    off = 0
+    per_ch = []
+    for s in sizes:
+        per_ch.append(planes[off: off + width * lines * s]
+                      .reshape(lines, width * s))
+        off += width * lines * s
+    for li in range(lines):
+        for ch in per_ch:
+            rows.append(ch[li].tobytes())
+    return b"".join(rows)
+
+
+def _piz_compress(raw: bytes, lines: int, width: int,
+                  psizes: list[int]) -> bytes | None:
+    """Scanline-interleaved raw bytes -> PIZ block (None if unavailable)."""
+    from iris_tpu.utils.exr_native import piz_compress
+
+    sizes = [s // 2 for s in psizes]
+    data = np.frombuffer(raw, np.uint16).reshape(lines, -1)
+    per_ch = []
+    off = 0
+    for s in sizes:
+        per_ch.append(data[:, off: off + width * s].reshape(-1))
+        off += width * s
+    planes = np.concatenate(per_ch)
+    return piz_compress(planes, [width] * len(sizes),
+                        [lines] * len(sizes), sizes)
+
+
 def _read_cstr(buf: bytes, off: int) -> tuple[str, int]:
     end = buf.index(b"\0", off)
     return buf[off:end].decode("ascii"), end + 1
@@ -109,7 +155,8 @@ def read_exr(path: str) -> np.ndarray:
 
     if compression not in _BLOCK_LINES:
         raise NotImplementedError(
-            f"EXR compression {compression} not supported (NONE/ZIP/ZIPS only)"
+            f"EXR compression {compression} not supported "
+            "(NONE/ZIP/ZIPS/PIZ only)"
         )
     x0, y0, x1, y1 = data_window
     width, height = x1 - x0 + 1, y1 - y0 + 1
@@ -128,7 +175,10 @@ def read_exr(path: str) -> np.ndarray:
         y, dsize = struct.unpack_from("<ii", buf, boff)
         blob = buf[boff + 8 : boff + 8 + dsize]
         lines = min(block, height - (y - y0))
-        raw = _zip_decompress(blob, lines * line_bytes)
+        if compression == _COMP_PIZ and dsize < lines * line_bytes:
+            raw = _piz_decompress(blob, lines, width, psizes)
+        else:
+            raw = _zip_decompress(blob, lines * line_bytes)
         pos = 0
         for li in range(lines):
             row = y - y0 + li
@@ -163,8 +213,12 @@ def write_exr(path: str, img: np.ndarray, half: bool = True,
     if c == 2:
         src_for = {"X": 0, "Y": 1}
 
-    comp = {"none": _COMP_NONE, "zip": _COMP_ZIP, "zips": _COMP_ZIPS}[
-        compression]
+    comp = {"none": _COMP_NONE, "zip": _COMP_ZIP, "zips": _COMP_ZIPS,
+            "piz": _COMP_PIZ}[compression]
+    if comp == _COMP_PIZ:
+        from iris_tpu.utils.exr_native import get_lib
+        if get_lib() is None:
+            comp = _COMP_ZIP        # graceful fallback, still valid EXR
     block = _BLOCK_LINES[comp]
     ptype = _PT_HALF if half else _PT_FLOAT
     dt = np.float16 if half else np.float32
@@ -202,7 +256,14 @@ def write_exr(path: str, img: np.ndarray, half: bool = True,
             for n in names:
                 parts.append(img[y + li, :, src_for[n]].astype(dt).tobytes())
         raw = b"".join(parts)
-        data = _zip_compress(raw) if comp != _COMP_NONE else raw
+        if comp == _COMP_PIZ:
+            data = _piz_compress(raw, lines, w, [psize] * len(names))
+            if data is None or len(data) >= len(raw):
+                data = raw          # store-uncompressed rule
+        elif comp != _COMP_NONE:
+            data = _zip_compress(raw)
+        else:
+            data = raw
         chunks.append((y, data))
 
     with open(path, "wb") as f:

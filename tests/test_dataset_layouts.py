@@ -170,3 +170,49 @@ def test_ply_ascii(tmp_path):
     mesh = load_ply(p)
     assert mesh.vertices.shape == (3, 3)
     assert np.array_equal(mesh.faces, [[0, 1, 2]])
+
+
+def test_pixel_bank_memmap_matches_ram(tmp_path):
+    """Disk-backed bank == in-RAM bank, and the fingerprinted bank is
+    reused (no refill) on the second call."""
+    import io
+    from contextlib import redirect_stdout
+
+    import numpy as np
+
+    class Tiny:
+        img_hw = (4, 5)
+        n_frames = 3
+        exposures = np.asarray([1.0, 2.0, 0.5], np.float32)
+        crfs = None
+        split_dir = "tiny-fake"
+
+        def frame(self, i):
+            rng = np.random.default_rng(i)
+            hw = 20
+            return {"rays": rng.uniform(size=(hw, 12)).astype(np.float32),
+                    "rgbs": rng.uniform(size=(hw, 3)).astype(np.float32)}
+
+    from iris_tpu.data.datasets import _BaseDataset
+    Tiny.pixel_bank = _BaseDataset.pixel_bank
+    ds = Tiny()
+    ram = ds.pixel_bank(("rays", "rgbs"))
+    mm = ds.pixel_bank(("rays", "rgbs"), memmap_dir=str(tmp_path / "bank"))
+    assert set(ram) == {"rays", "rgbs", "exposure"}
+    for k in ram:
+        assert np.array_equal(ram[k], np.asarray(mm[k])), k
+    assert ram["exposure"][0, 0] == 1.0 and ram["exposure"][25, 0] == 2.0
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        mm2 = ds.pixel_bank(("rays", "rgbs"),
+                            memmap_dir=str(tmp_path / "bank"))
+    assert "reusing" in buf.getvalue()
+    for k in ram:
+        assert np.array_equal(ram[k], np.asarray(mm2[k])), k
+
+    # RayBatcher consumes a memmap bank transparently
+    from iris_tpu.data.datasets import RayBatcher
+    b = RayBatcher(mm2, batch_size=16, seed=0)
+    batch = b.batch(0)
+    assert batch["rays"].shape == (16, 12)

@@ -68,3 +68,54 @@ def test_ssim_matches_known_case():
     b = a + np.random.default_rng(5).normal(0, 0.01, a.shape)
     v = ssim(a, np.clip(b, 0, 1))
     assert 0.8 < v < 1.0
+
+
+def test_exr_piz_roundtrip(tmp_path):
+    """Native PIZ codec (csrc/exr_piz.cpp): bit-exact roundtrip for half and
+    float channels, odd sizes, multi-block (>32 lines) images.
+
+    Conformance caveat: no OpenEXR binary exists in this image to produce
+    third-party PIZ files; the stream layout follows the public spec
+    (bitmap range + huffman-coded wavelet planes) and is self-consistent.
+    """
+    import pytest
+
+    from iris_tpu.utils.exr_native import get_lib
+    if get_lib() is None:
+        pytest.skip("no native toolchain")
+
+    rng = np.random.default_rng(0)
+    for h, w, c, half in [(37, 53, 3, True), (64, 64, 3, False),
+                          (100, 41, 1, True), (7, 9, 3, True)]:
+        img = (rng.standard_normal((h, w, c)).astype(np.float32) * 2.5) ** 3
+        img[::7, ::5] = 0.0
+        p = str(tmp_path / "t.exr")
+        write_exr(p, img, half=half, compression="piz")
+        back = read_exr(p).reshape(h, w, -1)[..., :c]
+        ref = img.astype(np.float16).astype(np.float32) if half else img
+        assert np.array_equal(back, ref), (h, w, c, half)
+
+
+def test_exr_piz_matches_zip_decode(tmp_path):
+    rng = np.random.default_rng(1)
+    img = rng.uniform(0, 10, (40, 30, 3)).astype(np.float32)
+    pa, pb = str(tmp_path / "a.exr"), str(tmp_path / "b.exr")
+    write_exr(pa, img, half=True, compression="piz")
+    write_exr(pb, img, half=True, compression="zip")
+    assert np.array_equal(read_exr(pa), read_exr(pb))
+
+
+def test_exr_piz_truncated_raises(tmp_path):
+    import pytest
+
+    from iris_tpu.utils.exr_native import get_lib
+    if get_lib() is None:
+        pytest.skip("no native toolchain")
+    img = np.random.default_rng(2).uniform(0, 1, (40, 40, 3)).astype(
+        np.float32)
+    p = str(tmp_path / "t.exr")
+    write_exr(p, img, half=True, compression="piz")
+    blob = open(p, "rb").read()
+    open(p, "wb").write(blob[:-200])  # corrupt the last block
+    with pytest.raises(Exception):
+        read_exr(p)
