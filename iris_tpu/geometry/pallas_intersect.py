@@ -164,13 +164,15 @@ def pallas_ray_trace(tracer: Tracer, origins: jnp.ndarray,
         kernel,
         grid=(nt,),
         in_specs=[
-            pl.BlockSpec((8, tile), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
+            # blocked rays/out: NO memory_space pin — pinning VMEM on a
+            # blocked spec places the WHOLE array in VMEM on this
+            # toolchain (16 MB OOM at 262K rays); default lets Mosaic
+            # stream per-grid-step blocks HBM->VMEM
+            pl.BlockSpec((8, tile), lambda i: (i, 0)),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((8, tile), lambda i: (i, 0),
-                               memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec((8, tile), lambda i: (i, 0)),
         out_shape=jax.ShapeDtypeStruct((nt * 8, tile), jnp.float32),
         interpret=interpret,
     )(rays, tracer.nodes, tracer.tris)

@@ -57,6 +57,9 @@ default_options = {
     "max_segments": {"type": int, "default": 128},
     # periodic full-state checkpoint cadence (steps) for kill-and-resume
     "save_every": {"type": int, "default": 1000},
+    # reference trainers budget in epochs (train.sh --max_epochs); when >0
+    # this overrides --max_steps as epochs * batches_per_epoch
+    "max_epochs": {"type": int, "default": 0},
 }
 
 

@@ -67,6 +67,10 @@ def main(argv=None):
     bank = dataset.pixel_bank(keys=("rays", "rgbs", "segmentation",
                                     "int_albedo"))
     batcher = RayBatcher(bank, args.batch_size)
+    if getattr(args, "max_epochs", 0):
+        args.max_steps = args.max_epochs * batcher.batches_per_epoch
+        print(f"[{__name__.split('.')[-1]}] max_epochs="
+              f"{args.max_epochs} -> max_steps={args.max_steps}")
     check_max_segments(bank["segmentation"], args.max_segments)
 
     cfg = LossConfig(

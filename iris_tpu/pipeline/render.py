@@ -147,7 +147,8 @@ def main(argv=None):
                                     n_rounds, jax.random.PRNGKey(i))
         kd, a_prime, rough, metal, emission, slf_v = aovs
 
-        img = denoise_hdr(l_full.reshape(h, w, 3))
+        img = denoise_hdr(l_full.reshape(h, w, 3),
+                          albedo=np.asarray(kd).reshape(h, w, 3))
         write_exr(str(dirs["rgb"] / f"{i:05d}_rgb_full.exr"), img)
         exposure = fr.get("exposure") or 1.0
         ldr = np.asarray(crf_forward(crf, jnp.asarray(img.reshape(-1, 3)),

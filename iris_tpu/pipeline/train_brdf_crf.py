@@ -76,6 +76,10 @@ def main(argv=None):
                                     "int_albedo", "diffuse", "specular0",
                                     "specular1"))
     batcher = RayBatcher(bank, args.batch_size)
+    if getattr(args, "max_epochs", 0):
+        args.max_steps = args.max_epochs * batcher.batches_per_epoch
+        print(f"[{__name__.split('.')[-1]}] max_epochs="
+              f"{args.max_epochs} -> max_steps={args.max_steps}")
     check_max_segments(bank["segmentation"], args.max_segments)
 
     cfg = LossConfig(

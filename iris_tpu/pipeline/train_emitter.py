@@ -70,6 +70,10 @@ def main(argv=None):
     dataset = make_dataset(args, "train")
     bank = dataset.pixel_bank(keys=("rays", "rgbs"))
     batcher = RayBatcher(bank, args.batch_size)
+    if getattr(args, "max_epochs", 0):
+        args.max_steps = args.max_epochs * batcher.batches_per_epoch
+        print(f"[{__name__.split('.')[-1]}] max_epochs="
+              f"{args.max_epochs} -> max_steps={args.max_steps}")
 
     cfg = LossConfig(spp=args.spp,
                      n_spp_rounds=max(args.SPP // args.spp, 1))
@@ -77,9 +81,22 @@ def main(argv=None):
     optimizer = make_optimizer(args.learning_rate, args.weight_decay,
                                tuple(args.milestones), args.scheduler_rate,
                                args.optimizer)
-    from iris_tpu.train.validation import ScalarLogger
+    from iris_tpu.train.validation import ScalarLogger, make_validation_hook
     hooks = [ScalarLogger(os.path.join("outputs", args.experiment_name,
                                        "train_log.jsonl"))]
+    # validation-frame dumps during emitter training (reference
+    # train_emitter.py renders val frames; observability parity)
+    try:
+        val_ds = make_dataset(args, "val")
+        vb = val_ds.frame(min(args.val_frame, len(val_ds) - 1))
+        hooks.append(make_validation_hook(
+            tracer, em, crf, vb, val_ds.img_hw,
+            os.path.join("outputs", args.experiment_name, args.dir_val),
+            val_step=args.val_step, spp=args.spp,
+            indir_depth=args.indir_depth, crf_gt=val_ds.crfs,
+            frozen={"material": material, "crf_weight": crf.weight}))
+    except Exception as e:  # val split optional
+        print("[train_emitter] no validation split:", e)
     t0 = time.time()
     params, opt_state = run_training(
         loss_fn, params, batcher.iter_from(start_step), optimizer,

@@ -22,6 +22,25 @@ spp=${spp:-32}
 STEPS_INIT=${STEPS_INIT:-2000}
 STEPS_BRDF=${STEPS_BRDF:-4000}
 STEPS_EMITTER=${STEPS_EMITTER:-1000}
+# reference per-scene scripts budget in EPOCHS (train.sh --max_epochs);
+# when set they override the step budgets above
+EPOCHS_INIT=${EPOCHS_INIT:-0}
+EPOCHS_BRDF=${EPOCHS_BRDF:-0}
+EPOCHS_EMITTER=${EPOCHS_EMITTER:-0}
+VAL_FRAME=${VAL_FRAME:-0}
+L_CRF_WEIGHT=${L_CRF_WEIGHT:-0.001}
+# model/batch knobs (reference defaults; shrink for smoke tests)
+BATCH_SIZE=${BATCH_SIZE:-8192}
+HASH_LEVELS=${HASH_LEVELS:-32}
+LOG2_HASH=${LOG2_HASH:-19}
+VOXEL_NUM=${VOXEL_NUM:-256}
+TRAIN_COMMON="--batch_size $BATCH_SIZE --hash_levels $HASH_LEVELS --log2_hashmap_size $LOG2_HASH" 
+INIT_BUDGET="--max_steps $STEPS_INIT"
+[ "$EPOCHS_INIT" -gt 0 ] && INIT_BUDGET="--max_epochs $EPOCHS_INIT"
+BRDF_BUDGET="--max_steps $STEPS_BRDF"
+[ "$EPOCHS_BRDF" -gt 0 ] && BRDF_BUDGET="--max_epochs $EPOCHS_BRDF"
+EMITTER_BUDGET="--max_steps $STEPS_EMITTER"
+[ "$EPOCHS_EMITTER" -gt 0 ] && EMITTER_BUDGET="--max_epochs $EPOCHS_EMITTER" 
 SPP_BAKE_DIFFUSE=${SPP_BAKE_DIFFUSE:-256}
 SPP_REFINE_DIFFUSE=${SPP_REFINE_DIFFUSE:-128}
 SPP_REFINE_SPECULAR=${SPP_REFINE_SPECULAR:-64}
@@ -36,7 +55,7 @@ COMMON_DS="--dataset_root $DATASET_ROOT --scene $SCENE --dataset $DATASET --res_
 TRAIN_DS="--dataset $DATASET $DATASET_PATH --scene $SCENE --res_scale $RES_SCALE $LDR_ARG"
 
 # 1. bake surface light field
-python -m iris_tpu.pipeline.slf_bake $COMMON_DS --output $BAKE
+python -m iris_tpu.pipeline.slf_bake $COMMON_DS --output $BAKE --voxel_num $VOXEL_NUM
 
 # 2. extract emitter mask
 python -m iris_tpu.pipeline.extract_emitter $COMMON_DS --output $BAKE \
@@ -46,7 +65,7 @@ python -m iris_tpu.pipeline.extract_emitter $COMMON_DS --output $BAKE \
 python -m iris_tpu.pipeline.initialize --experiment_name $EXP/init \
     $TRAIN_DS --voxel_path $BAKE/vslf.npz --emitter_path $BAKE/emitter.npz \
     --has_part $HAS_PART --SPP $SPP --spp $spp --crf_basis $CRF_BASIS \
-    --max_steps $STEPS_INIT
+    --val_frame $VAL_FRAME $INIT_BUDGET $TRAIN_COMMON
 
 # 4. write learned emitter radiance into emitter.npz
 python -m iris_tpu.pipeline.extract_emitter $COMMON_DS --output $BAKE \
@@ -62,8 +81,8 @@ python -m iris_tpu.pipeline.train_brdf_crf --experiment_name $EXP/brdf0 \
     $TRAIN_DS --has_part $HAS_PART --crf_basis $CRF_BASIS \
     --ckpt_path checkpoints/$EXP/init/last.pkl \
     --voxel_path $BAKE/vslf.npz --emitter_path $BAKE/emitter.npz \
-    --cache_dir $OUT/shading --lp 0.005 --la 0.01 --l_crf_weight 0.001 \
-    --max_steps $STEPS_BRDF
+    --cache_dir $OUT/shading --lp 0.005 --la 0.01 --l_crf_weight $L_CRF_WEIGHT \
+    --val_frame $VAL_FRAME $BRDF_BUDGET $TRAIN_COMMON
 
 # 7. re-bake the SLF with the learned CRF
 python -m iris_tpu.pipeline.slf_refine $COMMON_DS --output $BAKE \
@@ -75,7 +94,7 @@ python -m iris_tpu.pipeline.train_emitter --experiment_name $EXP/emitter \
     $TRAIN_DS --crf_basis $CRF_BASIS --SPP $SPP --spp $spp \
     --ckpt_path checkpoints/$EXP/brdf0/last.pkl \
     --voxel_path $BAKE/vslf_0.npz --emitter_path $BAKE/emitter.npz \
-    --max_steps $STEPS_EMITTER
+    $EMITTER_BUDGET --batch_size $BATCH_SIZE
 python -m iris_tpu.pipeline.extract_emitter $COMMON_DS --output $BAKE \
     --mode update --ckpt checkpoints/$EXP/emitter/emitter_last.pkl
 
@@ -90,7 +109,7 @@ python -m iris_tpu.pipeline.train_brdf_crf --experiment_name $EXP/brdf1 \
     $TRAIN_DS --has_part $HAS_PART --crf_basis $CRF_BASIS \
     --ckpt_path checkpoints/$EXP/init/last.pkl \
     --voxel_path $BAKE/vslf_0.npz --emitter_path $BAKE/emitter.npz \
-    --cache_dir $OUT/shading_1 --lp 0.005 --la 0.01 --l_crf_weight 0.001 \
-    --max_steps $STEPS_BRDF
+    --cache_dir $OUT/shading_1 --lp 0.005 --la 0.01 --l_crf_weight $L_CRF_WEIGHT \
+    --val_frame $VAL_FRAME $BRDF_BUDGET $TRAIN_COMMON
 
 echo "pipeline complete: checkpoints/$EXP/brdf1/last.pkl"

@@ -1,0 +1,65 @@
+"""Guided-denoiser quality: aux-buffer joint-bilateral weights must beat
+the color-only filter on a noisy bake at equal spp (VERDICT item 8;
+reference uses the aux-guided OptiX denoiser, bake_shading.py:81)."""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from iris_tpu.geometry.bvh import build_bvh
+from iris_tpu.geometry.intersect import ray_intersect
+from iris_tpu.geometry.procedural import camera_rays, make_box_scene
+from iris_tpu.models import brdf as B
+from iris_tpu.models import emitter as E
+from iris_tpu.render.denoise import atrous_denoise
+from iris_tpu.render.integrator import path_tracing_det_diff
+
+
+def _setup():
+    mesh, is_em = make_box_scene(n_clutter=6, seed=3)
+    tracer = build_bvh(mesh.triangles())
+    em = E.make_emitter(is_em, mesh.triangles(),
+                        radiance=np.full((2, 3), 10.0, np.float32))
+    mat = B.ConstantBRDF(albedo=jnp.asarray([0.6, 0.5, 0.4]),
+                         roughness=jnp.asarray([0.8]),
+                         metallic=jnp.asarray([0.0]))
+    return tracer, em, functools.partial(B.constant_brdf_apply, mat)
+
+
+def test_guided_denoise_beats_color_only():
+    tracer, em, mat_fn = _setup()
+    n = 48
+    o, d, *_ = camera_rays(n, origin=(1.0, 0.4, 0.6), look=(0.0, 1.0, -0.2))
+    o, d = jnp.asarray(o), jnp.asarray(d)
+    pos, nrm, uv, tri, valid = ray_intersect(tracer, o, d)
+    wis = d
+
+    def bake(spp, seed):
+        out = path_tracing_det_diff(jax.random.PRNGKey(seed), tracer, em,
+                                    mat_fn, pos, wis, nrm, uv, tri,
+                                    spp=spp, indir_depth=1)
+        return np.asarray(out).reshape(n, n, 3)
+
+    noisy = bake(4, 0)
+    ref = bake(512, 1)
+    nrm_hw = np.asarray(nrm).reshape(n, n, 3)
+
+    from iris_tpu.render.denoise import denoise_hdr
+
+    def mse(x):
+        return float(((x - ref) ** 2).mean())
+
+    mse_raw = mse(noisy)
+    # shipped configs: color-only default vs guided default
+    mse_plain = mse(denoise_hdr(noisy))
+    mse_guided = mse(denoise_hdr(noisy, normal=nrm_hw))
+    assert mse_plain < mse_raw
+    assert mse_guided < 0.6 * mse_plain, (mse_guided, mse_plain, mse_raw)
+    # the guide itself helps at EQUAL sigma (not just the relaxed sigma)
+    s = 8.0
+    p_eq = mse(np.asarray(atrous_denoise(jnp.asarray(noisy), 3, s)))
+    g_eq = mse(np.asarray(atrous_denoise(jnp.asarray(noisy), 3, s,
+                                         jnp.asarray(nrm_hw))))
+    assert g_eq < p_eq, (g_eq, p_eq)
