@@ -135,10 +135,12 @@ def _kernel(rays_ref, nodes_ref, tris_ref, out_ref, *, leaf_size: int,
     out_ref[4:8, :] = jnp.zeros((4,) + t_best.shape[1:], jnp.float32)
 
 
-@functools.partial(jax.jit, static_argnames=("tile", "interpret"))
+@functools.partial(jax.jit, static_argnames=(
+    "tile", "interpret", "max_rays_per_call"))
 def pallas_ray_trace(tracer: Tracer, origins: jnp.ndarray,
                      dirs: jnp.ndarray, tile: int = 1024,
-                     interpret: bool = False):
+                     interpret: bool = False,
+                     max_rays_per_call: int = 1 << 16):
     """Returns (t, u, v, face_id, valid), each (B,)."""
     origins = jax.lax.stop_gradient(origins)
     dirs = jax.lax.stop_gradient(dirs)
@@ -160,22 +162,42 @@ def pallas_ray_trace(tracer: Tracer, origins: jnp.ndarray,
 
     kernel = functools.partial(_kernel, leaf_size=tracer.leaf_size,
                                n_nodes=tracer.n_nodes)
-    out = pl.pallas_call(
-        kernel,
-        grid=(nt,),
-        in_specs=[
-            # blocked rays/out: NO memory_space pin — pinning VMEM on a
-            # blocked spec places the WHOLE array in VMEM on this
-            # toolchain (16 MB OOM at 262K rays); default lets Mosaic
-            # stream per-grid-step blocks HBM->VMEM
-            pl.BlockSpec((8, tile), lambda i: (i, 0)),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((8, tile), lambda i: (i, 0)),
-        out_shape=jax.ShapeDtypeStruct((nt * 8, tile), jnp.float32),
-        interpret=interpret,
-    )(rays, tracer.nodes, tracer.tris)
+
+    # XLA on this backend stages the ENTIRE in/out of a tpu_custom_call in
+    # scoped VMEM (measured: 16 MB OOM at 262K rays regardless of grid
+    # blocking), so cap each pallas_call at <=64K rays and lax.map over
+    # super-chunks; the BVH stays resident across calls.
+    chunk_nt = max(1, max_rays_per_call // tile)
+
+    def call(rays_chunk):
+        n_in = rays_chunk.shape[0] // 8
+        return pl.pallas_call(
+            kernel,
+            grid=(n_in,),
+            in_specs=[
+                pl.BlockSpec((8, tile), lambda i: (i, 0)),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((8, tile), lambda i: (i, 0)),
+            out_shape=jax.ShapeDtypeStruct((n_in * 8, tile), jnp.float32),
+            interpret=interpret,
+        )(rays_chunk, tracer.nodes, tracer.tris)
+
+    if nt <= chunk_nt:
+        out = call(rays)
+    else:
+        n_super = -(-nt // chunk_nt)
+        pad_t = n_super * chunk_nt - nt
+        rays = rays.reshape(nt, 8, tile)
+        if pad_t:
+            filler = jnp.zeros((pad_t, 8, tile), rays.dtype)
+            filler = filler.at[:, 5].set(1.0)   # dz=1 dummy rays
+            rays = jnp.concatenate([rays, filler], 0)
+        rays = rays.reshape(n_super, chunk_nt * 8, tile)
+        out = jax.lax.map(call, rays)
+        out = out.reshape(n_super * chunk_nt, 8, tile)[:nt].reshape(
+            nt * 8, tile)
 
     out = out.reshape(nt, 8, tile)
     t = out[:, 0].reshape(-1)[:B]

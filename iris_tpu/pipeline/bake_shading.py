@@ -106,7 +106,8 @@ def _bake_maps_for_frame(tracer, em, rays, img_hw, spp_diffuse=256,
                      spp_diffuse)
     ld = np.where(valid[:, None], ld, 0.0).reshape(h, w, 3)
     nrm_guide = np.where(valid[:, None], nrm, 0.0).reshape(h, w, 3)
-    result["diffuse"] = denoise_hdr(ld, normal=nrm_guide)
+    mask_hw = np.asarray(valid).reshape(h, w)
+    result["diffuse"] = denoise_hdr(ld, normal=nrm_guide, mask=mask_hw)
 
     spec0, spec1 = [], []
     for r_idx, rough in enumerate(ROUGHNESS_LEVELS):
@@ -119,8 +120,8 @@ def _bake_maps_for_frame(tracer, em, rays, img_hw, spp_diffuse=256,
         l0 = np.where(valid[:, None], l0, 0.0).reshape(h, w, 3)
         l1 = np.where(valid[:, None], l1, 0.0).reshape(h, w, 3)
         if r_idx > 0:  # low roughness needs no denoise (reference :198)
-            l0 = denoise_hdr(l0, normal=nrm_guide)
-            l1 = denoise_hdr(l1, normal=nrm_guide)
+            l0 = denoise_hdr(l0, normal=nrm_guide, mask=mask_hw)
+            l1 = denoise_hdr(l1, normal=nrm_guide, mask=mask_hw)
         spec0.append(l0)
         spec1.append(l1)
     result["specular0"] = spec0

@@ -108,11 +108,12 @@ def main(argv=None):
         key = jax.random.PRNGKey(im_id)
 
         nrm_hw = np.asarray(nrm).reshape(h, w, 3)
+        mask_hw = np.asarray(valid).reshape(h, w)
         (ld,) = _chunked_det(diff_jit, np.asarray(pos), wi, np.asarray(nrm),
                              np.asarray(uv), np.asarray(tri), chunk_d, 1, key)
         assert not np.isnan(ld).any()
         write_exr(os.path.join(dif_dir, f"{im_id:03d}.exr"),
-                  denoise_hdr(ld.reshape(h, w, 3), normal=nrm_hw))
+                  denoise_hdr(ld.reshape(h, w, 3), normal=nrm_hw, mask=mask_hw))
 
         for r_idx, rough in enumerate(ROUGHNESS_LEVELS):
             if r_idx not in spec_jits:
@@ -127,9 +128,9 @@ def main(argv=None):
                                   jax.random.fold_in(key, 7 + r_idx))
             assert not np.isnan(l0).any() and not np.isnan(l1).any()
             write_exr(os.path.join(spec_dir, f"{im_id:03d}_0_{r_idx}.exr"),
-                      denoise_hdr(l0.reshape(h, w, 3), normal=nrm_hw))
+                      denoise_hdr(l0.reshape(h, w, 3), normal=nrm_hw, mask=mask_hw))
             write_exr(os.path.join(spec_dir, f"{im_id:03d}_1_{r_idx}.exr"),
-                      denoise_hdr(l1.reshape(h, w, 3), normal=nrm_hw))
+                      denoise_hdr(l1.reshape(h, w, 3), normal=nrm_hw, mask=mask_hw))
     print(f"[refine_shading] time (s): {time.time() - t0:.1f}")
 
 

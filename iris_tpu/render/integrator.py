@@ -32,6 +32,11 @@ from iris_tpu.models.emitter import Emitter, eval_emitter, sample_emitter
 
 MatFn = Callable[[jnp.ndarray], dict]
 
+# Spatially re-sort secondary (NEE + bounce) rays inside the traversal:
+# scrambled bounce directions break union-tile coherence (PERF.md). Module
+# flag so benches can A/B it; read at trace time.
+SORT_SECONDARY = True
+
 
 def _jitter_rays(key, rays_o, rays_d, dx_du, dy_dv, spp):
     """Pixel-jittered camera rays replicated spp times (reference :232-234)."""
@@ -84,7 +89,8 @@ def _nee_and_bounce(
     o2 = jnp.concatenate([position + RAY_EPS * wi_e,
                           position + RAY_EPS * wi_b], 0)
     d2 = jnp.concatenate([wi_e, wi_b], 0)
-    pos2, nrm2, _, tri2, valid2 = ray_intersect(tracer, o2, d2)
+    pos2, nrm2, _, tri2, valid2 = ray_intersect(tracer, o2, d2,
+                                                sort=SORT_SECONDARY)
     emit_pos, pos_next = pos2[:n], pos2[n:]
     emit_nrm, nrm_next = nrm2[:n], nrm2[n:]
     tri_e, tri_b = tri2[:n], tri2[n:]

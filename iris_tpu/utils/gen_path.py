@@ -64,3 +64,33 @@ def create_spheric_poses(radius, mean_h, n_poses=120):
         pos = np.asarray([radius * np.cos(th), radius * np.sin(th), mean_h])
         out.append(viewmatrix(-normalize(pos), np.asarray([0, 0, 1.0]), pos))
     return np.stack(out)
+
+
+def average_poses(poses: np.ndarray, pts3d: np.ndarray | None = None
+                  ) -> np.ndarray:
+    """Average pose per the NeRF-LLFF convention (ray_utils.py:55-87):
+    center from pts3d (or camera positions), z = mean forward, x from the
+    mean up hint, y completing the frame. Returns (3, 4)."""
+    center = (pts3d.mean(0) if pts3d is not None
+              else poses[..., 3].mean(0))
+    z = normalize(poses[..., 2].mean(0))
+    y_ = poses[..., 1].mean(0)
+    x = normalize(np.cross(y_, z))
+    y = np.cross(z, x)
+    return np.stack([x, y, z, center], 1)
+
+
+def center_poses(poses: np.ndarray, pts3d: np.ndarray | None = None):
+    """Re-express all poses (and optionally a point cloud) in the
+    average-pose frame (ray_utils.py:89-118). Returns centered poses
+    (N, 3, 4), plus centered pts3d when given."""
+    pose_avg = average_poses(poses, pts3d)
+    pose_avg_homo = np.eye(4)
+    pose_avg_homo[:3] = pose_avg
+    inv = np.linalg.inv(pose_avg_homo)
+    last = np.tile(np.asarray([0.0, 0.0, 0.0, 1.0]), (len(poses), 1, 1))
+    centered = (inv @ np.concatenate([poses, last], 1))[:, :3]
+    if pts3d is not None:
+        pts = pts3d @ inv[:3, :3].T + inv[:3, 3]
+        return centered, pts
+    return centered

@@ -139,3 +139,32 @@ def test_hdr2ldr_roundtrip(tmp_path, demo_root):
     assert os.path.exists(os.path.join(tgt, "cam", "crf.npy"))
     pngs = [f for f in os.listdir(tgt) if f.endswith(".png")]
     assert len(pngs) == 3
+
+
+def test_center_poses_normalizes_average():
+    from iris_tpu.utils.gen_path import average_poses, center_poses
+
+    rng = np.random.default_rng(0)
+    # random-ish camera rig around a point
+    poses = []
+    for i in range(12):
+        th = i / 12 * 2 * np.pi
+        pos = np.asarray([3 * np.cos(th), 3 * np.sin(th), 1.0 + 0.1 * i])
+        z = -pos / np.linalg.norm(pos)
+        x = np.cross([0, 0, 1.0], z)
+        x /= np.linalg.norm(x)
+        y = np.cross(z, x)
+        poses.append(np.stack([x, y, z, pos], 1))
+    poses = np.asarray(poses)
+    pts = rng.normal(size=(50, 3))
+
+    centered, pts_c = center_poses(poses, pts)
+    # the construction is rigid-equivariant, so re-averaging the centered
+    # rig (with the centered cloud) gives the identity pose
+    avg = average_poses(centered, pts_c)
+    assert np.allclose(avg[:, :3], np.eye(3), atol=1e-6), avg
+    assert np.allclose(avg[:, 3], 0.0, atol=1e-6)
+    # the pts transform is the same rigid transform (pairwise dists kept)
+    d0 = np.linalg.norm(pts[:1] - pts, axis=-1)
+    d1 = np.linalg.norm(pts_c[:1] - pts_c, axis=-1)
+    assert np.allclose(d0, d1, atol=1e-6)

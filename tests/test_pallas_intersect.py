@@ -24,3 +24,24 @@ def test_pallas_kernel_matches_brute_interpret():
     assert np.allclose(p1[pv], np.asarray(p2)[pv], atol=1e-3)
     same = (np.asarray(face) == np.asarray(i2))[pv]
     assert same.mean() > 0.99
+
+
+def test_pallas_chunked_matches_unchunked():
+    """The lax.map super-chunk path (VMEM cap workaround) returns the same
+    hits as a single call, including the dummy-ray padding tail."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from iris_tpu.geometry.bvh import build_bvh
+    from iris_tpu.geometry.pallas_intersect import pallas_ray_trace
+    from iris_tpu.geometry.procedural import camera_rays, make_box_scene
+
+    mesh, _ = make_box_scene(n_clutter=4, seed=1)
+    tracer = build_bvh(mesh.triangles())
+    o, d, *_ = camera_rays(30)   # 900 rays -> pads to 1024 at tile 128
+    o, d = jnp.asarray(o), jnp.asarray(d)
+    a = pallas_ray_trace(tracer, o, d, tile=128, interpret=True)
+    b = pallas_ray_trace(tracer, o, d, tile=128, interpret=True,
+                         max_rays_per_call=256)
+    for x, y in zip(a, b):
+        assert np.array_equal(np.asarray(x), np.asarray(y))
