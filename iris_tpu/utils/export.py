@@ -2,12 +2,14 @@
 metallic textures + a UV-mapped OBJ.
 
 Role parity with reference utils/export.py (xatlas unwrap + nvdiffrast
-rasterize). Neither library exists here, so the unwrap is a uniform
-per-face grid atlas: every triangle receives its own square chart of
-`texels_per_face`^2 texels; chart texel centers are mapped to barycentric
-surface points, the hash-grid BRDF is queried there, and the result is
-splatted into the texture. Crude but complete: the OBJ + PNGs drop into any
-DCC tool.
+rasterize), implemented natively:
+- default `charts` mode: seam-aware chart unwrap (utils/uv_unwrap.py —
+  normal-gated region growing, planar projection with fold repair, shelf
+  packing, barycentric atlas rasterization, gutter dilation);
+- legacy `grid` mode: uniform per-face square charts.
+The hash-grid BRDF is queried at every covered texel's surface point and
+baked into albedo / roughness-metallic PNGs + a UV-mapped OBJ that drops
+into any DCC tool.
 """
 
 from __future__ import annotations
@@ -24,6 +26,39 @@ from iris_tpu.geometry.mesh import load_mesh
 from iris_tpu.models.brdf import ngp_brdf_apply
 from iris_tpu.train.checkpoint import load_pytree
 from iris_tpu.utils.image import save_image
+
+
+def export_textures_charts(mesh, material, res: int = 1024,
+                           normal_cos: float = 0.8):
+    """Chart-atlas texture bake. Returns (albedo, rm, uvs (F,3,2))."""
+    from iris_tpu.utils.uv_unwrap import (
+        dilate_texture, rasterize_atlas, unwrap,
+    )
+
+    uv01, _ = unwrap(mesh, res=res, normal_cos=normal_cos)
+    tri = np.asarray(mesh.triangles(), np.float64)
+    rows, cols, pts, mask = rasterize_atlas(tri, uv01, res)
+
+    albedo_tex = np.zeros((res, res, 3), np.float32)
+    rm_tex = np.zeros((res, res, 3), np.float32)
+    query = jax.jit(lambda p: ngp_brdf_apply(material, p))
+    for c0 in range(0, len(pts), 262144):
+        c1 = min(c0 + 262144, len(pts))
+        mat = query(jnp.asarray(pts[c0:c1]))
+        albedo_tex[rows[c0:c1], cols[c0:c1]] = np.asarray(mat["albedo"])
+        rm_tex[rows[c0:c1], cols[c0:c1], 1] = np.asarray(
+            mat["roughness"])[:, 0]
+        rm_tex[rows[c0:c1], cols[c0:c1], 2] = np.asarray(
+            mat["metallic"])[:, 0]
+    albedo_tex = dilate_texture(albedo_tex, mask)
+    rm_tex = dilate_texture(rm_tex, mask)
+    # OBJ vt convention: v up, image row 0 at top
+    uvs = np.stack([uv01[..., 0], 1.0 - uv01[..., 1]], -1).astype(
+        np.float32)
+    # array row r is sampled by a renderer at vt v' = 1 - r/res, which
+    # maps back to PNG row r from the top — same convention as the grid
+    # path, so no flip
+    return albedo_tex, rm_tex, uvs
 
 
 def export_textures(mesh, material, texels_per_face: int = 8,
@@ -101,12 +136,19 @@ def main(argv=None):
     parser.add_argument("--ckpt", type=str, required=True)
     parser.add_argument("--output", type=str, required=True)
     parser.add_argument("--texels_per_face", type=int, default=8)
+    parser.add_argument("--unwrap", type=str, default="charts",
+                        choices=["charts", "grid"])
+    parser.add_argument("--res", type=int, default=1024)
     args = parser.parse_args(argv)
 
     mesh = load_mesh(args.mesh)
     material = load_pytree(args.ckpt)["material"]
     os.makedirs(args.output, exist_ok=True)
-    albedo, rm, uvs = export_textures(mesh, material, args.texels_per_face)
+    if args.unwrap == "charts":
+        albedo, rm, uvs = export_textures_charts(mesh, material, args.res)
+    else:
+        albedo, rm, uvs = export_textures(mesh, material,
+                                          args.texels_per_face)
     save_image(albedo, os.path.join(args.output, "albedo.png"))
     save_image(rm, os.path.join(args.output, "rm.png"))
     write_obj_with_uvs(os.path.join(args.output, "scene_uv.obj"), mesh, uvs)
