@@ -168,3 +168,26 @@ def test_center_poses_normalizes_average():
     d0 = np.linalg.norm(pts[:1] - pts, axis=-1)
     d1 = np.linalg.norm(pts_c[:1] - pts_c, axis=-1)
     assert np.allclose(d0, d1, atol=1e-6)
+
+
+def test_process_images_cli(tmp_path):
+    """Standalone resize tool (reference scannetpp/process.py parity)."""
+    from PIL import Image
+
+    from iris_tpu.utils import process_images
+
+    src = tmp_path / "in"
+    src.mkdir()
+    big = (np.random.default_rng(0).uniform(0, 255, (60, 200, 3))
+           .astype(np.uint8))
+    small = (np.random.default_rng(1).uniform(0, 255, (30, 40, 3))
+             .astype(np.uint8))
+    Image.fromarray(big).save(src / "a.png")
+    Image.fromarray(small).save(src / "b.png")
+    out = tmp_path / "out"
+    process_images.main(["--input", str(src), "--output", str(out),
+                         "--max_width", "100"])
+    a = np.asarray(Image.open(out / "a.png"))
+    b = np.asarray(Image.open(out / "b.png"))
+    assert a.shape == (30, 100, 3)       # aspect preserved, capped width
+    assert np.array_equal(b, small)      # under-cap images untouched
