@@ -187,6 +187,9 @@ def pallas_ray_trace(tracer: Tracer, origins: jnp.ndarray,
     if nt <= chunk_nt:
         out = call(rays)
     else:
+        # UNROLLED python loop, not lax.map: this backend VMEM-pins the
+        # map's stacked accumulator next to the custom call (16 MB OOM);
+        # separate sequential calls keep only ~2 MB live at once.
         n_super = -(-nt // chunk_nt)
         pad_t = n_super * chunk_nt - nt
         rays = rays.reshape(nt, 8, tile)
@@ -194,10 +197,11 @@ def pallas_ray_trace(tracer: Tracer, origins: jnp.ndarray,
             filler = jnp.zeros((pad_t, 8, tile), rays.dtype)
             filler = filler.at[:, 5].set(1.0)   # dz=1 dummy rays
             rays = jnp.concatenate([rays, filler], 0)
-        rays = rays.reshape(n_super, chunk_nt * 8, tile)
-        out = jax.lax.map(call, rays)
-        out = out.reshape(n_super * chunk_nt, 8, tile)[:nt].reshape(
-            nt * 8, tile)
+        parts = [call(rays[s * chunk_nt:(s + 1) * chunk_nt].reshape(
+            chunk_nt * 8, tile)) for s in range(n_super)]
+        out = jnp.concatenate(
+            [p.reshape(chunk_nt, 8, tile) for p in parts], 0
+        )[:nt].reshape(nt * 8, tile)
 
     out = out.reshape(nt, 8, tile)
     t = out[:, 0].reshape(-1)[:B]

@@ -60,6 +60,9 @@ default_options = {
     # reference trainers budget in epochs (train.sh --max_epochs); when >0
     # this overrides --max_steps as epochs * batches_per_epoch
     "max_epochs": {"type": int, "default": 0},
+    # update-scale for the emitter radiance leaf (1.0 = reference parity;
+    # raw radiance under Adam crawls at ~lr/step — see train/optim.py)
+    "radiance_lr_scale": {"type": float, "default": 1.0},
 }
 
 

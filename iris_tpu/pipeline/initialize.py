@@ -82,6 +82,10 @@ def main(argv=None):
     optimizer = make_optimizer(args.learning_rate, args.weight_decay,
                                tuple(args.milestones), args.scheduler_rate,
                                args.optimizer)
+    if getattr(args, "radiance_lr_scale", 1.0) != 1.0:
+        from iris_tpu.train.optim import scale_updates_for_key
+        optimizer = scale_updates_for_key(optimizer, "radiance",
+                                          args.radiance_lr_scale)
     mesh_dev = data_mesh(args.n_devices)
 
     from iris_tpu.train.validation import ScalarLogger, make_validation_hook

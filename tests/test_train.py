@@ -226,3 +226,28 @@ def test_full_state_resume_matches_uninterrupted():
                for a, b in zip(jax.tree_util.tree_leaves(p_full),
                                jax.tree_util.tree_leaves(p_bad)))
     assert diff > 1e-7
+
+
+def test_radiance_lr_scale_accelerates_emitter():
+    """scale_updates_for_key: the radiance leaf moves ~scale x faster,
+    other leaves untouched; scale=1 is an exact no-op."""
+    import optax
+
+    from iris_tpu.train.optim import make_optimizer, scale_updates_for_key
+
+    params = {"radiance": jnp.zeros((4, 3)), "material": jnp.zeros(5)}
+    g = {"radiance": -jnp.ones((4, 3)), "material": -jnp.ones(5)}
+
+    def step_once(opt):
+        st = opt.init(params)
+        up, _ = opt.update(g, st, params)
+        return optax.apply_updates(params, up)
+
+    base = make_optimizer(learning_rate=1e-3)
+    p1 = step_once(base)
+    p10 = step_once(scale_updates_for_key(base, "radiance", 10.0))
+    assert np.allclose(np.asarray(p10["radiance"]),
+                       10 * np.asarray(p1["radiance"]), rtol=1e-5)
+    assert np.allclose(np.asarray(p10["material"]),
+                       np.asarray(p1["material"]))
+    assert scale_updates_for_key(base, "radiance", 1.0) is base
