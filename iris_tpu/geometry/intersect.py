@@ -369,6 +369,34 @@ def spatial_sort_perm(tracer: Tracer, xs: jnp.ndarray, ds: jnp.ndarray
     return jnp.argsort((octant << jnp.uint32(24)) | key)
 
 
+def _pallas_selected(tracer: Tracer, n_rays: int) -> bool:
+    """Auto-select the fused Mosaic traversal kernel (device-measured on
+    a 24K-face SAH scene, PERF.md): 2.4x XLA on coherent rays and 3.0x on
+    sorted incoherent ones — but only worthwhile where the XLA path has
+    collapsed to a few Mrays/s (big trees) and the BVH fits VMEM. Small
+    scenes stay on XLA (23+ Mrays/s there). Escape hatch:
+    IRIS_TPU_NO_PALLAS=1; TPU backend only (CPU tests keep XLA)."""
+    import os
+
+    if os.environ.get("IRIS_TPU_NO_PALLAS"):
+        return False
+    if tracer.n_faces < 5000 or n_rays < 8192:
+        return False
+    try:
+        from iris_tpu.geometry.pallas_intersect import pallas_available
+
+        if not pallas_available(tracer):
+            return False
+        import jax as _jax
+
+        dev = _jax.config.jax_default_device
+        if dev is not None and getattr(dev, "platform", "") == "cpu":
+            return False      # CPU-pinned runs (tests) keep the XLA path
+        return _jax.default_backend() != "cpu"
+    except Exception:
+        return False
+
+
 def ray_intersect(tracer: Tracer, xs: jnp.ndarray, ds: jnp.ndarray,
                   tile: int | None = 1024, sort: bool = False):
     """Reference-parity wrapper (utils/path_tracing.py:17-48).
@@ -382,13 +410,21 @@ def ray_intersect(tracer: Tracer, xs: jnp.ndarray, ds: jnp.ndarray,
         positions (B,3), normals (B,3) unit & viewer-facing, uvs (B,2),
         idx (B,) original face index (-1 = miss), valid (B,) bool.
     """
+    use_pallas = _pallas_selected(tracer, xs.shape[0])
     perm = None
-    if sort and tile:
+    if (sort or use_pallas) and tile:
+        # the Pallas union kernel NEEDS sorted rays on incoherent sets
+        # (device-measured: sorted 0.70 vs unsorted 0.15 Mrays/s, PERF.md)
         perm = spatial_sort_perm(tracer, xs, ds)
         xs_t, ds_t = xs[perm], ds[perm]
     else:
         xs_t, ds_t = xs, ds
-    if tile:
+    if use_pallas and tile:
+        from iris_tpu.geometry.pallas_intersect import pallas_ray_trace
+
+        t, u, v, face, valid = pallas_ray_trace(tracer, xs_t, ds_t,
+                                                tile=2048)
+    elif tile:
         t, u, v, face, valid = ray_trace_tiled_ordered(tracer, xs_t, ds_t,
                                                        tile)
     else:
