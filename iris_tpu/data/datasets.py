@@ -411,7 +411,10 @@ def load_dataset(dataset: str, path: str, scene: str = "", **kw):
 def sort_rays_spatially(rays: np.ndarray, n_buckets: int = 1 << 10):
     """Order indices so nearby/parallel rays are adjacent: sort by direction
     octant then origin Morton code. Restores tile coherence for the union
-    traversal after random permutation batching."""
+    traversal after random permutation batching.
+
+    Host twin of geometry/intersect.spatial_sort_perm (in-jit, used for
+    secondary rays); keep their key structure in sync."""
     from iris_tpu.geometry.bvh import morton3d
 
     o, d = rays[:, 0:3], rays[:, 3:6]

@@ -47,7 +47,22 @@ def get_lib():
         so = _compile()
         if so is None:
             return None
-        lib = ctypes.CDLL(so)
+        try:
+            lib = ctypes.CDLL(so)
+        except OSError:
+            # stale/foreign prebuilt binary (checkout gives .so and .cpp
+            # equal mtimes): force a rebuild once, then give up gracefully
+            try:
+                os.remove(so)
+            except OSError:
+                return None
+            so = _compile()
+            if so is None:
+                return None
+            try:
+                lib = ctypes.CDLL(so)
+            except OSError:
+                return None
         lib.build_bvh_sah.restype = ctypes.c_int
         lib.build_bvh_sah.argtypes = [
             ctypes.POINTER(ctypes.c_float), ctypes.c_int64, ctypes.c_int,

@@ -356,7 +356,10 @@ def spatial_sort_perm(tracer: Tracer, xs: jnp.ndarray, ds: jnp.ndarray
     """In-jit ray-coherence permutation: direction octant (3 bits) then
     8-bit-per-axis origin Morton code, one u32 sort key. Secondary/bounce
     rays arrive scrambled; sorting them keeps the union-traversal tiles
-    coherent (measured 2-3x traversal on incoherent sets, PERF.md)."""
+    coherent (measured 2-3x traversal on incoherent sets, PERF.md).
+
+    Device-side twin of data/datasets.sort_rays_spatially (host numpy,
+    used by RayBatcher); keep their key structure in sync."""
     lo = tracer.nodes[0, 0:3]
     hi = tracer.nodes[0, 3:6]
     key = jnp.zeros(xs.shape[0], jnp.uint32)

@@ -16,12 +16,17 @@ import numpy as np
 
 
 def save_pytree(path: str, tree) -> None:
-    """Pickle the treedef + npz the leaves (arrays -> numpy)."""
+    """Pickle the treedef + leaves (arrays -> numpy). ATOMIC: written to a
+    temp file then os.replace'd — a kill mid-write (the exact scenario the
+    resume machinery exists for) must never truncate the only
+    checkpoint."""
     leaves, treedef = jax.tree_util.tree_flatten(tree)
     leaves = [np.asarray(x) for x in leaves]
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
-    with open(path, "wb") as f:
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
         pickle.dump({"treedef": treedef, "leaves": leaves}, f)
+    os.replace(tmp, path)
 
 
 def load_pytree(path: str):
@@ -40,7 +45,7 @@ def make_state_saver(path: str, every: int = 1000):
     and step too, train_brdf_crf.py:541-545)."""
 
     def hook(step, params, opt_state):
-        if (step + 1) % every == 0:
+        if every > 0 and (step + 1) % every == 0:
             save_pytree(path, {"params": params, "opt_state": opt_state,
                                "step": np.int64(step + 1)})
     return hook
@@ -50,10 +55,14 @@ def load_train_state(state_path: str, params_path: str, params):
     """Resume helper: full state if present, else legacy params-only, else
     the given fresh params. Returns (params, opt_state|None, start_step)."""
     if os.path.exists(state_path):
-        st = load_pytree(state_path)
-        print(f"[resume] full state from {state_path} "
-              f"(step {int(st['step'])})")
-        return st["params"], st["opt_state"], int(st["step"])
+        try:
+            st = load_pytree(state_path)
+            print(f"[resume] full state from {state_path} "
+                  f"(step {int(st['step'])})")
+            return st["params"], st["opt_state"], int(st["step"])
+        except Exception as e:   # corrupt/partial state file
+            print(f"[resume] unreadable state file {state_path}: {e}; "
+                  "falling back")
     if os.path.exists(params_path):
         print(f"[resume] params only from {params_path} "
               "(optimizer state reset)")

@@ -74,6 +74,27 @@ def check_max_segments(segmentation, max_segments: int):
             f"raise --max_segments to at least {top + 1}")
 
 
+@jax.custom_vjp
+def _gather1d(x, idx):
+    """x[idx] for 1-D x and flat idx, with an explicit `.at[].add` scatter
+    backward (the hashgrid.py pattern — JAX's automatic gather-VJP lowers
+    to a pathological scatter on TPU, PERF.md)."""
+    return x[idx]
+
+
+def _gather1d_fwd(x, idx):
+    return x[idx], (idx, x.shape[0])
+
+
+def _gather1d_bwd(res, g):
+    idx, n = res
+    return (jnp.zeros((n,), g.dtype).at[idx].add(g),
+            jnp.zeros(idx.shape, jax.dtypes.float0))
+
+
+_gather1d.defvjp(_gather1d_fwd, _gather1d_bwd)
+
+
 def propagation_loss(key, seg, valid, pos_n, albedo_d, roughness, metallic,
                      cfg: "LossConfig"):
     """Reference train_brdf_crf.py:240-290 as a fixed-shape estimator.
@@ -102,16 +123,28 @@ def propagation_loss(key, seg, valid, pos_n, albedo_d, roughness, metallic,
     j_sorted = start[:, None] + jnp.minimum(
         (u * count[:, None]).astype(jnp.int32),
         jnp.maximum(count[:, None] - 1, 0))
-    j = order[j_sorted]                                   # (B, P) originals
+    # all partner lookups below are FLAT 1-D gathers of 1-D operands,
+    # component-wise (CLAUDE.md TPU rules: (B,P,3) gather results get
+    # (8,128)-tile padding; 2-D-index gathers of 2-D operands are slow)
+    jf = order[j_sorted.reshape(-1)]                      # (B*P,) originals
 
-    w_alb = jnp.exp(-jnp.sum((albedo_d[:, None] - albedo_d[j]) ** 2, -1)
-                    / cfg.sigma_albedo ** 2 / 2.0)
-    w_pos = jnp.exp(-jnp.sum((pos_n[:, None] - pos_n[j]) ** 2, -1)
-                    / cfg.sigma_pos ** 2 / 2.0)
-    wij = w_alb * w_pos
+    d2a = jnp.zeros((b, cfg.n_pairs))
+    d2p = jnp.zeros((b, cfg.n_pairs))
+    for c in range(3):
+        ac = albedo_d[:, c]
+        d2a = d2a + (ac[jf].reshape(b, -1) - ac[:, None]) ** 2
+        pc = pos_n[:, c]
+        d2p = d2p + (pc[jf].reshape(b, -1) - pc[:, None]) ** 2
+    wij = jnp.exp(-d2a / cfg.sigma_albedo ** 2 / 2.0) \
+        * jnp.exp(-d2p / cfg.sigma_pos ** 2 / 2.0)
     denom = jnp.sum(wij, -1) + 1e-4
-    mean_r = jnp.sum(wij * roughness[j], -1) / denom
-    mean_m = jnp.sum(wij * metallic[j], -1) / denom
+    # partner roughness/metallic DO carry gradients (reference scatter_add
+    # over roughness[jj]); route them through the explicit-scatter VJP —
+    # JAX's automatic gather-VJP emits a pathological TPU scatter
+    r_j = _gather1d(roughness, jf).reshape(b, -1)
+    m_j = _gather1d(metallic, jf).reshape(b, -1)
+    mean_r = jnp.sum(wij * r_j, -1) / denom
+    mean_m = jnp.sum(wij * m_j, -1) / denom
     per_pix = jnp.abs(mean_r - roughness) + jnp.abs(mean_m - metallic)
     w = valid.astype(jnp.float32)
     seg_loss, _ = segment_mean(per_pix, _seg_ids(seg, cfg.max_segments),

@@ -35,7 +35,7 @@ def export_textures_charts(mesh, material, res: int = 1024,
         dilate_texture, rasterize_atlas, unwrap,
     )
 
-    uv01, _ = unwrap(mesh, res=res, normal_cos=normal_cos)
+    uv01, _, res = unwrap(mesh, res=res, normal_cos=normal_cos)
     tri = np.asarray(mesh.triangles(), np.float64)
     rows, cols, pts, mask = rasterize_atlas(tri, uv01, res)
 

@@ -47,7 +47,22 @@ def get_lib():
         so = _compile()
         if so is None:
             return None
-        lib = ctypes.CDLL(so)
+        try:
+            lib = ctypes.CDLL(so)
+        except OSError:
+            # stale/foreign prebuilt binary (checkout gives .so and .cpp
+            # equal mtimes): force a rebuild once, then give up gracefully
+            try:
+                os.remove(so)
+            except OSError:
+                return None
+            so = _compile()
+            if so is None:
+                return None
+            try:
+                lib = ctypes.CDLL(so)
+            except OSError:
+                return None
         u8p = ctypes.POINTER(ctypes.c_uint8)
         u16p = ctypes.POINTER(ctypes.c_uint16)
         i32p = ctypes.POINTER(ctypes.c_int32)

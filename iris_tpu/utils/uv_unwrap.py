@@ -238,14 +238,20 @@ def dilate_texture(tex: np.ndarray, mask: np.ndarray, iters: int = 4
     return tex
 
 
-def unwrap(mesh, res: int = 1024, normal_cos: float = 0.8):
-    """Full pipeline: mesh -> (uv01 (F,3,2), chart (F,)). Retries packing
-    at growing resolutions internally; uv stays in [0,1] for `res`."""
+def unwrap(mesh, res: int = 1024, normal_cos: float = 0.8,
+           max_res: int = 8192):
+    """Full pipeline: mesh -> (uv01 (F,3,2), chart (F,), res_used).
+    When the charts cannot pack at `res` (gutter-dominated small charts),
+    the atlas resolution doubles up to max_res; uv stays in [0,1] for the
+    RETURNED resolution."""
     tri = np.asarray(mesh.triangles(), np.float64)
     chart = grow_charts(tri, np.asarray(mesh.faces), normal_cos)
     uv_local, chart = project_charts(tri, chart)
-    uv01 = pack_charts(uv_local, chart, res)
-    if uv01 is None:
-        raise ValueError(
-            f"charts do not fit a {res}x{res} atlas; raise res")
-    return uv01, chart
+    r = res
+    while r <= max_res:
+        uv01 = pack_charts(uv_local, chart, r)
+        if uv01 is not None:
+            return uv01, chart, r
+        r *= 2
+    raise ValueError(
+        f"charts do not fit even a {max_res}x{max_res} atlas")

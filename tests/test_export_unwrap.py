@@ -19,7 +19,7 @@ def _mesh():
 def test_unwrap_uvs_in_bounds_and_area_preserving():
     mesh = _mesh()
     res = 256
-    uv01, chart = unwrap(mesh, res=res)
+    uv01, chart, res = unwrap(mesh, res=res)
     assert uv01.shape == (mesh.n_faces, 3, 2)
     assert (uv01 >= 0).all() and (uv01 <= 1).all()
     assert chart.min() >= 0
@@ -42,7 +42,7 @@ def test_unwrap_no_interchart_overlap():
     correctness — the whole point over the per-face grid)."""
     mesh = _mesh()
     res = 256
-    uv01, chart = unwrap(mesh, res=res)
+    uv01, chart, res = unwrap(mesh, res=res)
     tri = np.asarray(mesh.triangles(), np.float64)
     owner = np.full((res, res), -1, np.int64)
     clash = 0
