@@ -32,10 +32,13 @@ from iris_tpu.models.emitter import Emitter, eval_emitter, sample_emitter
 
 MatFn = Callable[[jnp.ndarray], dict]
 
-# Spatially re-sort secondary (NEE + bounce) rays inside the traversal:
-# scrambled bounce directions break union-tile coherence (PERF.md). Module
-# flag so benches can A/B it; read at trace time.
-SORT_SECONDARY = True
+# Spatially re-sort secondary (NEE + bounce) rays inside the traversal.
+# Device A/B (PERF.md round 2): a NET LOSS on the XLA union-traversal path
+# (593K vs 565K rays/s end-to-end on the flagship step; the ordered tiled
+# walk barely benefits while the argsort+gather costs ~5%), and redundant
+# on the Pallas path, where ray_intersect forces its own sort (a measured
+# 4.6x there). Default off; module flag kept so benches can A/B it.
+SORT_SECONDARY = False
 
 
 def _jitter_rays(key, rays_o, rays_d, dx_du, dy_dv, spp):
@@ -113,12 +116,27 @@ def _nee_and_bounce(
                             emit_brdf * emit_weight * w_mis, 0.0)
 
     # ---- BRDF-sampled half
-    mat_next = mat_fn(pos_next)
-    if trace_roughness is None:
+    if trace_roughness == 0.0:
+        # The bounce-hit material feeds ONLY the `roughness > trace_
+        # roughness` cache gate here, and NGPBRDF roughness is clamped to
+        # [0.02, 1] (models/brdf.py:188) — at trace_roughness=0.0 the gate
+        # is vacuously true and no gradient flows through a boolean, so
+        # the whole second hash-grid encode (~25% of the flagship train
+        # step, PERF.md) is dead: skip it. Callers on this path
+        # (path_tracing_single) terminate every lane into the SLF cache
+        # and never consume mat_next.
+        mat_next = None
+        le, emit_pdf2, valid_next = eval_emitter(
+            em, pos_next, wi_b, tri_b,
+            jnp.ones((pos_next.shape[0], 1)), 0.0
+        )
+    elif trace_roughness is None:
+        mat_next = mat_fn(pos_next)
         le, emit_pdf2, valid_next = eval_emitter(
             em, pos_next, wi_b, tri_b, mat_next["roughness"]
         )
     else:
+        mat_next = mat_fn(pos_next)
         le, emit_pdf2, valid_next = eval_emitter(
             em, pos_next, wi_b, tri_b, mat_next["roughness"],
             trace_roughness
