@@ -43,6 +43,12 @@ class Tracer:
     n_nodes: int = field(metadata=dict(static=True))
     leaf_size: int = field(metadata=dict(static=True))
     n_faces: int = field(metadata=dict(static=True))     # original face count
+    # node-array ordering: "preorder" (SAH builder: child = cur+1, node and
+    # leaf-triangle indices are strictly increasing along any traversal —
+    # streamable) or "heap" (Morton fallback: node b's children are 2b/2b+1,
+    # indices jump around). The HBM-streamed Pallas kernel requires
+    # "preorder".
+    layout: str = field(default="heap", metadata=dict(static=True))
     # nodes[:,6] skip: next 1-based node in preorder after this subtree,
     #                  0 = traversal done.
     # nodes[:,7] desc: >=1 -> internal, value is the 1-based first child;
@@ -153,6 +159,7 @@ def build_bvh(triangles: np.ndarray, leaf_size: int = 4,
                 n_nodes=int(nodes_np.shape[0]),
                 leaf_size=leaf_size,
                 n_faces=n_faces,
+                layout="preorder",
             )
         if method == "sah":
             raise RuntimeError("native SAH builder unavailable")

@@ -372,32 +372,38 @@ def spatial_sort_perm(tracer: Tracer, xs: jnp.ndarray, ds: jnp.ndarray
     return jnp.argsort((octant << jnp.uint32(24)) | key)
 
 
-def _pallas_selected(tracer: Tracer, n_rays: int) -> bool:
-    """Auto-select the fused Mosaic traversal kernel (device-measured on
-    a 24K-face SAH scene, PERF.md): 2.4x XLA on coherent rays and 3.0x on
-    sorted incoherent ones — but only worthwhile where the XLA path has
-    collapsed to a few Mrays/s (big trees) and the BVH fits VMEM. Small
-    scenes stay on XLA (23+ Mrays/s there). Escape hatch:
-    IRIS_TPU_NO_PALLAS=1; TPU backend only (CPU tests keep XLA)."""
+def _pallas_mode(tracer: Tracer, n_rays: int) -> str | None:
+    """Auto-select the fused Mosaic traversal kernel (device-measured,
+    PERF.md round 2): it beats the XLA union walk at EVERY measured scene
+    size — 1.25-2.7x coherent, 1.5-4x incoherent — so any TPU-backed
+    call with a reasonably large batch uses it. Returns 'resident' (BVH
+    fits VMEM), 'streamed' (HBM-windowed DMA, needs the preorder SAH
+    layout), or None (XLA path). Escape hatch: IRIS_TPU_NO_PALLAS=1;
+    TPU backend only (CPU tests keep XLA)."""
     import os
 
     if os.environ.get("IRIS_TPU_NO_PALLAS"):
-        return False
-    if tracer.n_faces < 5000 or n_rays < 8192:
-        return False
+        return None
+    if n_rays < 8192:
+        return None
     try:
-        from iris_tpu.geometry.pallas_intersect import pallas_available
+        from iris_tpu.geometry.pallas_intersect import (
+            pallas_available, pallas_streamable)
 
-        if not pallas_available(tracer):
-            return False
         import jax as _jax
 
         dev = _jax.config.jax_default_device
         if dev is not None and getattr(dev, "platform", "") == "cpu":
-            return False      # CPU-pinned runs (tests) keep the XLA path
-        return _jax.default_backend() != "cpu"
+            return None       # CPU-pinned runs (tests) keep the XLA path
+        if _jax.default_backend() == "cpu":
+            return None
+        if pallas_available(tracer):
+            return "resident"
+        if pallas_streamable(tracer):
+            return "streamed"
+        return None
     except Exception:
-        return False
+        return None
 
 
 def ray_intersect(tracer: Tracer, xs: jnp.ndarray, ds: jnp.ndarray,
@@ -407,26 +413,35 @@ def ray_intersect(tracer: Tracer, xs: jnp.ndarray, ds: jnp.ndarray,
     Args:
         xs: (B, 3) ray origins.  ds: (B, 3) ray directions.
         tile: union-traversal tile width (None = per-ray traversal).
-        sort: spatially re-sort rays before traversal and un-permute the
-            results — for secondary/bounce rays whose order is scrambled.
+        sort: hint that the rays are spatially INCOHERENT (secondary /
+            bounce rays). Whether a spatial re-sort actually happens is a
+            per-path perf decision (device-measured, PERF.md): the Pallas
+            union kernel sorts on big trees (4.6x there), small trees and
+            the XLA ordered walk never sort (net loss in both).
     Returns:
         positions (B,3), normals (B,3) unit & viewer-facing, uvs (B,2),
         idx (B,) original face index (-1 = miss), valid (B,) bool.
     """
-    use_pallas = _pallas_selected(tracer, xs.shape[0])
+    mode = _pallas_mode(tracer, xs.shape[0])
     perm = None
-    if (sort or use_pallas) and tile:
-        # the Pallas union kernel NEEDS sorted rays on incoherent sets
-        # (device-measured: sorted 0.70 vs unsorted 0.15 Mrays/s, PERF.md)
+    if mode and tile and sort and tracer.n_faces >= 5000:
         perm = spatial_sort_perm(tracer, xs, ds)
         xs_t, ds_t = xs[perm], ds[perm]
     else:
         xs_t, ds_t = xs, ds
-    if use_pallas and tile:
-        from iris_tpu.geometry.pallas_intersect import pallas_ray_trace
+    if mode and tile:
+        from iris_tpu.geometry.pallas_intersect import (
+            pallas_ray_trace, pallas_ray_trace_streamed)
 
-        t, u, v, face, valid = pallas_ray_trace(tracer, xs_t, ds_t,
-                                                tile=2048)
+        if mode == "streamed":
+            t, u, v, face, valid = pallas_ray_trace_streamed(
+                tracer, xs_t, ds_t, tile=8192)
+        else:
+            # tile sweep (PERF.md): sorted-incoherent peaks at 8192,
+            # coherent keeps gaining to 16384
+            t, u, v, face, valid = pallas_ray_trace(
+                tracer, xs_t, ds_t, tile=8192 if perm is not None
+                else 16384)
     elif tile:
         t, u, v, face, valid = ray_trace_tiled_ordered(tracer, xs_t, ds_t,
                                                        tile)

@@ -212,9 +212,242 @@ def pallas_ray_trace(tracer: Tracer, origins: jnp.ndarray,
     return t, u, v, face, valid
 
 
+def _kernel_streamed(rays_ref, nodes_hbm, tris_hbm, out_ref,
+                     node_buf, tri_buf, nsem, tsem, *, leaf_size: int,
+                     n_nodes: int, node_win: int, tri_win: int):
+    """Union traversal with the BVH left in HBM: node/triangle rows are
+    DMA'd into VMEM in `node_win`/`tri_win`-row windows on demand.
+
+    Requires a PREORDER tree (bvh.py layout="preorder", the SAH builder):
+    both the node cursor and the leaf triangle base are strictly
+    increasing along any traversal, so windows advance monotonically —
+    each window is fetched at most once per tile walk.
+    """
+    ox = rays_ref[0:1, :]
+    oy = rays_ref[1:2, :]
+    oz = rays_ref[2:3, :]
+    dx = rays_ref[3:4, :]
+    dy = rays_ref[4:5, :]
+    dz = rays_ref[5:6, :]
+
+    def safe(v):
+        return jnp.where(jnp.abs(v) < 1e-12, 1e-12, v)
+
+    ix = 1.0 / safe(dx)
+    iy = 1.0 / safe(dy)
+    iz = 1.0 / safe(dz)
+
+    def slab(n0, n1, n2, n3, n4, n5, t_best):
+        tx0 = (n0 - ox) * ix
+        tx1 = (n3 - ox) * ix
+        ty0 = (n1 - oy) * iy
+        ty1 = (n4 - oy) * iy
+        tz0 = (n2 - oz) * iz
+        tz1 = (n5 - oz) * iz
+        tlo = jnp.maximum(jnp.maximum(jnp.minimum(tx0, tx1),
+                                      jnp.minimum(ty0, ty1)),
+                          jnp.minimum(tz0, tz1))
+        thi = jnp.minimum(jnp.minimum(jnp.maximum(tx0, tx1),
+                                      jnp.maximum(ty0, ty1)),
+                          jnp.maximum(tz0, tz1))
+        return (thi >= jnp.maximum(tlo, 0.0)) & (tlo <= t_best)
+
+    def body(state):
+        cur, nwin, twin, t_best, u_b, v_b, f_b = state
+        node = jnp.clip(cur - 1, 0, n_nodes - 1)
+        tgt_nwin = node // node_win
+
+        @pl.when(tgt_nwin != nwin)
+        def _():
+            cp = pltpu.make_async_copy(
+                nodes_hbm.at[pl.ds(tgt_nwin * node_win, node_win), :],
+                node_buf, nsem)
+            cp.start()
+            cp.wait()
+
+        nd = node_buf[pl.ds(node - tgt_nwin * node_win, 1), :]
+        hit = slab(nd[0, 0], nd[0, 1], nd[0, 2], nd[0, 3], nd[0, 4],
+                   nd[0, 5], t_best)
+        any_hit = jnp.any(hit)
+        desc = nd[0, 7]
+        is_leaf = desc <= 0.0
+        do_leaf = any_hit & is_leaf
+        base = (-desc).astype(jnp.int32)
+        # leaf blocks are leaf_size-aligned and tri_win % leaf_size == 0,
+        # so a leaf never straddles a window boundary
+        tgt_twin = jnp.where(do_leaf, base // tri_win, twin)
+
+        @pl.when(tgt_twin != twin)
+        def _():
+            cp = pltpu.make_async_copy(
+                tris_hbm.at[pl.ds(tgt_twin * tri_win, tri_win), :],
+                tri_buf, tsem)
+            cp.start()
+            cp.wait()
+
+        def leaf_case(args):
+            t_best, u_b, v_b, f_b = args
+            local = base - tgt_twin * tri_win
+            for k in range(leaf_size):
+                row = tri_buf[pl.ds(jnp.clip(local + k, 0, tri_win - 1),
+                                    1), :]
+                v0x, v0y, v0z = row[0, 0], row[0, 1], row[0, 2]
+                e1x, e1y, e1z = row[0, 3], row[0, 4], row[0, 5]
+                e2x, e2y, e2z = row[0, 6], row[0, 7], row[0, 8]
+                fid = row[0, 9]
+                px = dy * e2z - dz * e2y
+                py = dz * e2x - dx * e2z
+                pz = dx * e2y - dy * e2x
+                det = e1x * px + e1y * py + e1z * pz
+                inv_det = jnp.where(jnp.abs(det) > _MT_EPS, 1.0 / det, 0.0)
+                tx = ox - v0x
+                ty = oy - v0y
+                tz = oz - v0z
+                u = (tx * px + ty * py + tz * pz) * inv_det
+                qx = ty * e1z - tz * e1y
+                qy = tz * e1x - tx * e1z
+                qz = tx * e1y - ty * e1x
+                v = (dx * qx + dy * qy + dz * qz) * inv_det
+                t = (e2x * qx + e2y * qy + e2z * qz) * inv_det
+                ok = ((jnp.abs(det) > _MT_EPS) & (u >= 0.0) & (v >= 0.0)
+                      & (u + v <= 1.0) & (t > 0.0) & (fid >= 0.0)
+                      & hit & (t < t_best))
+                t_best = jnp.where(ok, t, t_best)
+                u_b = jnp.where(ok, u, u_b)
+                v_b = jnp.where(ok, v, v_b)
+                f_b = jnp.where(ok, fid, f_b)
+            return t_best, u_b, v_b, f_b
+
+        t_best, u_b, v_b, f_b = jax.lax.cond(
+            do_leaf, leaf_case, lambda a: a, (t_best, u_b, v_b, f_b))
+
+        descend = any_hit & jnp.logical_not(is_leaf)
+        nxt = jnp.where(descend, desc, nd[0, 6]).astype(jnp.int32)
+        return nxt, tgt_nwin, tgt_twin, t_best, u_b, v_b, f_b
+
+    def cond(state):
+        return state[0] > 0
+
+    tile = ox.shape
+    init = (
+        jnp.int32(1),
+        jnp.int32(-1),      # no node window loaded
+        jnp.int32(-1),      # no tri window loaded
+        jnp.full(tile, T_MISS, jnp.float32),
+        jnp.zeros(tile, jnp.float32),
+        jnp.zeros(tile, jnp.float32),
+        jnp.full(tile, -1.0, jnp.float32),
+    )
+    _, _, _, t_best, u_b, v_b, f_b = jax.lax.while_loop(cond, body, init)
+    out_ref[0:1, :] = t_best
+    out_ref[1:2, :] = u_b
+    out_ref[2:3, :] = v_b
+    out_ref[3:4, :] = f_b
+    out_ref[4:8, :] = jnp.zeros((4,) + t_best.shape[1:], jnp.float32)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "tile", "interpret", "max_rays_per_call", "node_win", "tri_win"))
+def pallas_ray_trace_streamed(tracer: Tracer, origins: jnp.ndarray,
+                              dirs: jnp.ndarray, tile: int = 8192,
+                              interpret: bool = False,
+                              max_rays_per_call: int = 1 << 16,
+                              node_win: int = 2048, tri_win: int = 2048):
+    """HBM-streamed variant of pallas_ray_trace for BVHs too big for VMEM
+    (>~150K faces). Returns (t, u, v, face_id, valid), each (B,)."""
+    assert tracer.layout == "preorder", \
+        "streamed traversal needs the preorder (SAH) node layout"
+    assert tri_win % tracer.leaf_size == 0
+    origins = jax.lax.stop_gradient(origins)
+    dirs = jax.lax.stop_gradient(dirs)
+    B = origins.shape[0]
+    pad = (-B) % tile
+    if pad:
+        origins = jnp.concatenate([origins, jnp.zeros((pad, 3))], 0)
+        dirs = jnp.concatenate(
+            [dirs, jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0]),
+                                    (pad, 3))], 0)
+    nt = (B + pad) // tile
+    o = origins.reshape(nt, tile, 3)
+    d = dirs.reshape(nt, tile, 3)
+    rays = jnp.concatenate([
+        jnp.swapaxes(o, 1, 2), jnp.swapaxes(d, 1, 2),
+        jnp.zeros((nt, 2, tile)),
+    ], axis=1).reshape(nt * 8, tile)
+
+    # pad node/tri arrays to whole windows (HBM-side, cheap)
+    nodes = tracer.nodes
+    npad = (-nodes.shape[0]) % node_win
+    if npad:
+        nodes = jnp.concatenate(
+            [nodes, jnp.zeros((npad, 8), nodes.dtype)], 0)
+    tris = tracer.tris
+    tpad = (-tris.shape[0]) % tri_win
+    if tpad:
+        filler = jnp.zeros((tpad, 12), tris.dtype).at[:, 9].set(-1.0)
+        tris = jnp.concatenate([tris, filler], 0)
+
+    kernel = functools.partial(
+        _kernel_streamed, leaf_size=tracer.leaf_size,
+        n_nodes=tracer.n_nodes, node_win=node_win, tri_win=tri_win)
+
+    chunk_nt = max(1, max_rays_per_call // tile)
+
+    def call(rays_chunk):
+        n_in = rays_chunk.shape[0] // 8
+        return pl.pallas_call(
+            kernel,
+            grid=(n_in,),
+            in_specs=[
+                pl.BlockSpec((8, tile), lambda i: (i, 0)),
+                pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY),
+                pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY),
+            ],
+            out_specs=pl.BlockSpec((8, tile), lambda i: (i, 0)),
+            out_shape=jax.ShapeDtypeStruct((n_in * 8, tile), jnp.float32),
+            scratch_shapes=[
+                pltpu.VMEM((node_win, 8), jnp.float32),
+                pltpu.VMEM((tri_win, 12), jnp.float32),
+                pltpu.SemaphoreType.DMA,
+                pltpu.SemaphoreType.DMA,
+            ],
+            interpret=interpret,
+        )(rays_chunk, nodes, tris)
+
+    if nt <= chunk_nt:
+        out = call(rays)
+    else:
+        n_super = -(-nt // chunk_nt)
+        pad_t = n_super * chunk_nt - nt
+        rays = rays.reshape(nt, 8, tile)
+        if pad_t:
+            filler = jnp.zeros((pad_t, 8, tile), rays.dtype)
+            filler = filler.at[:, 5].set(1.0)
+            rays = jnp.concatenate([rays, filler], 0)
+        parts = [call(rays[s * chunk_nt:(s + 1) * chunk_nt].reshape(
+            chunk_nt * 8, tile)) for s in range(n_super)]
+        out = jnp.concatenate(
+            [p.reshape(chunk_nt, 8, tile) for p in parts], 0
+        )[:nt].reshape(nt * 8, tile)
+
+    out = out.reshape(nt, 8, tile)
+    t = out[:, 0].reshape(-1)[:B]
+    u = out[:, 1].reshape(-1)[:B]
+    v = out[:, 2].reshape(-1)[:B]
+    face = out[:, 3].reshape(-1)[:B].astype(jnp.int32)
+    valid = face >= 0
+    return t, u, v, face, valid
+
+
 def vmem_bytes(tracer: Tracer) -> int:
     return int(tracer.nodes.size + tracer.tris.size) * 4
 
 
 def pallas_available(tracer: Tracer, budget: int = 12 << 20) -> bool:
     return vmem_bytes(tracer) <= budget
+
+
+def pallas_streamable(tracer: Tracer) -> bool:
+    """The streamed kernel handles any size, but needs the preorder (SAH)
+    layout."""
+    return tracer.layout == "preorder"

@@ -32,13 +32,12 @@ from iris_tpu.models.emitter import Emitter, eval_emitter, sample_emitter
 
 MatFn = Callable[[jnp.ndarray], dict]
 
-# Spatially re-sort secondary (NEE + bounce) rays inside the traversal.
-# Device A/B (PERF.md round 2): a NET LOSS on the XLA union-traversal path
-# (593K vs 565K rays/s end-to-end on the flagship step; the ordered tiled
-# walk barely benefits while the argsort+gather costs ~5%), and redundant
-# on the Pallas path, where ray_intersect forces its own sort (a measured
-# 4.6x there). Default off; module flag kept so benches can A/B it.
-SORT_SECONDARY = False
+# Mark secondary (NEE + bounce) rays as spatially incoherent when tracing.
+# This is a HINT: ray_intersect decides per path whether to actually sort
+# (device-measured, PERF.md round 2 — Pallas on big trees: yes, 4.6x; XLA
+# ordered walk and small trees: no, net loss). Module flag so benches can
+# A/B the hint itself.
+SORT_SECONDARY = True
 
 
 def _jitter_rays(key, rays_o, rays_d, dx_du, dy_dv, spp):

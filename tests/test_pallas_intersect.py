@@ -45,3 +45,52 @@ def test_pallas_chunked_matches_unchunked():
                          max_rays_per_call=256)
     for x, y in zip(a, b):
         assert np.array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_pallas_streamed_matches_brute_interpret():
+    """HBM-streamed kernel (windowed node/tri DMA) vs brute force, with
+    tiny windows so many window crossings are exercised. Needs the SAH
+    (preorder) builder."""
+    import pytest
+
+    from iris_tpu.geometry.pallas_intersect import (pallas_ray_trace_streamed,
+                                                    pallas_streamable)
+
+    mesh, _ = make_box_scene(n_clutter=12, seed=3)
+    tris = mesh.triangles()
+    tracer = build_bvh(tris)
+    if not pallas_streamable(tracer):
+        pytest.skip("native SAH builder unavailable (heap layout)")
+    o, d = random_rays(256, seed=11)
+    t, u, v, face, valid = pallas_ray_trace_streamed(
+        tracer, jnp.asarray(o), jnp.asarray(d), tile=128, interpret=True,
+        node_win=64, tri_win=64)
+    p2, _, _, i2, v2 = ray_intersect_brute(jnp.asarray(tris),
+                                           jnp.asarray(o), jnp.asarray(d))
+    assert np.array_equal(np.asarray(valid), np.asarray(v2))
+    pv = np.asarray(valid)
+    p1 = np.asarray(o) + np.asarray(t)[:, None] * np.asarray(d)
+    assert np.allclose(p1[pv], np.asarray(p2)[pv], atol=1e-3)
+    same = (np.asarray(face) == np.asarray(i2))[pv]
+    assert same.mean() > 0.99
+
+
+def test_pallas_streamed_matches_resident_interpret():
+    """Streamed and VMEM-resident kernels agree bit-exactly on the same
+    SAH tree (same traversal order, same arithmetic)."""
+    import pytest
+
+    from iris_tpu.geometry.pallas_intersect import (pallas_ray_trace_streamed,
+                                                    pallas_streamable)
+
+    mesh, _ = make_box_scene(n_clutter=12, seed=4)
+    tracer = build_bvh(mesh.triangles())
+    if not pallas_streamable(tracer):
+        pytest.skip("native SAH builder unavailable (heap layout)")
+    o, d = random_rays(512, seed=12)
+    o, d = jnp.asarray(o), jnp.asarray(d)
+    a = pallas_ray_trace(tracer, o, d, tile=128, interpret=True)
+    b = pallas_ray_trace_streamed(tracer, o, d, tile=128, interpret=True,
+                                  node_win=128, tri_win=128)
+    for x, y in zip(a, b):
+        assert np.array_equal(np.asarray(x), np.asarray(y))
