@@ -215,13 +215,19 @@ def pallas_ray_trace(tracer: Tracer, origins: jnp.ndarray,
 def _kernel_streamed(rays_ref, nodes_hbm, tris_hbm, out_ref,
                      node_buf, tri_buf, nsem, tsem, *, leaf_size: int,
                      n_nodes: int, node_win: int, tri_win: int):
-    """Union traversal with the BVH left in HBM: node/triangle rows are
+    """Union traversal with the BVH left in HBM: node/leaf rows are
     DMA'd into VMEM in `node_win`/`tri_win`-row windows on demand.
 
     Requires a PREORDER tree (bvh.py layout="preorder", the SAH builder):
     both the node cursor and the leaf triangle base are strictly
     increasing along any traversal, so windows advance monotonically —
     each window is fetched at most once per tile walk.
+
+    Layout: Mosaic DMA slices of HBM buffers must be 128-lane aligned, so
+    the caller re-packs the BVH into 128-wide rows — one node per row
+    (8 floats used) and one whole leaf per row (leaf_size*12 floats used).
+    Every in-kernel lane offset is then STATIC; only sublane indices are
+    dynamic (which VMEM supports).
     """
     ox = rays_ref[0:1, :]
     oy = rays_ref[1:2, :]
@@ -272,10 +278,10 @@ def _kernel_streamed(rays_ref, nodes_hbm, tris_hbm, out_ref,
         desc = nd[0, 7]
         is_leaf = desc <= 0.0
         do_leaf = any_hit & is_leaf
-        base = (-desc).astype(jnp.int32)
-        # leaf blocks are leaf_size-aligned and tri_win % leaf_size == 0,
-        # so a leaf never straddles a window boundary
-        tgt_twin = jnp.where(do_leaf, base // tri_win, twin)
+        # -desc is the first padded-triangle row; rows are leaf_size-
+        # aligned, so the leaf ordinal (= packed 128-wide row) is exact
+        leaf_idx = (-desc).astype(jnp.int32) // leaf_size
+        tgt_twin = jnp.where(do_leaf, leaf_idx // tri_win, twin)
 
         @pl.when(tgt_twin != twin)
         def _():
@@ -287,14 +293,14 @@ def _kernel_streamed(rays_ref, nodes_hbm, tris_hbm, out_ref,
 
         def leaf_case(args):
             t_best, u_b, v_b, f_b = args
-            local = base - tgt_twin * tri_win
+            local = jnp.clip(leaf_idx - tgt_twin * tri_win, 0, tri_win - 1)
+            lf = tri_buf[pl.ds(local, 1), :]        # (1, 128): whole leaf
             for k in range(leaf_size):
-                row = tri_buf[pl.ds(jnp.clip(local + k, 0, tri_win - 1),
-                                    1), :]
-                v0x, v0y, v0z = row[0, 0], row[0, 1], row[0, 2]
-                e1x, e1y, e1z = row[0, 3], row[0, 4], row[0, 5]
-                e2x, e2y, e2z = row[0, 6], row[0, 7], row[0, 8]
-                fid = row[0, 9]
+                c = k * 12
+                v0x, v0y, v0z = lf[0, c + 0], lf[0, c + 1], lf[0, c + 2]
+                e1x, e1y, e1z = lf[0, c + 3], lf[0, c + 4], lf[0, c + 5]
+                e2x, e2y, e2z = lf[0, c + 6], lf[0, c + 7], lf[0, c + 8]
+                fid = lf[0, c + 9]
                 px = dy * e2z - dz * e2y
                 py = dz * e2x - dx * e2z
                 pz = dx * e2y - dy * e2x
@@ -352,12 +358,18 @@ def pallas_ray_trace_streamed(tracer: Tracer, origins: jnp.ndarray,
                               dirs: jnp.ndarray, tile: int = 8192,
                               interpret: bool = False,
                               max_rays_per_call: int = 1 << 16,
-                              node_win: int = 2048, tri_win: int = 2048):
+                              node_win: int = 512, tri_win: int = 512):
     """HBM-streamed variant of pallas_ray_trace for BVHs too big for VMEM
-    (>~150K faces). Returns (t, u, v, face_id, valid), each (B,)."""
+    (>~150K faces). Returns (t, u, v, face_id, valid), each (B,).
+
+    HBM cost: the 128-wide re-pack (see _kernel_streamed) stores 512 B per
+    node and per leaf — ~0.7 MB per 1K faces at leaf_size=4; a 1M-face
+    scene streams from ~700 MB of HBM. `node_win`/`tri_win` count 128-wide
+    rows (nodes / whole leaves); each window is a 256 KB VMEM buffer at
+    the 512 default."""
     assert tracer.layout == "preorder", \
         "streamed traversal needs the preorder (SAH) node layout"
-    assert tri_win % tracer.leaf_size == 0
+    assert tracer.leaf_size * 12 <= 128, "leaf row exceeds one 128-lane row"
     origins = jax.lax.stop_gradient(origins)
     dirs = jax.lax.stop_gradient(dirs)
     B = origins.shape[0]
@@ -375,17 +387,21 @@ def pallas_ray_trace_streamed(tracer: Tracer, origins: jnp.ndarray,
         jnp.zeros((nt, 2, tile)),
     ], axis=1).reshape(nt * 8, tile)
 
-    # pad node/tri arrays to whole windows (HBM-side, cheap)
-    nodes = tracer.nodes
-    npad = (-nodes.shape[0]) % node_win
-    if npad:
-        nodes = jnp.concatenate(
-            [nodes, jnp.zeros((npad, 8), nodes.dtype)], 0)
-    tris = tracer.tris
-    tpad = (-tris.shape[0]) % tri_win
-    if tpad:
-        filler = jnp.zeros((tpad, 12), tris.dtype).at[:, 9].set(-1.0)
-        tris = jnp.concatenate([tris, filler], 0)
+    # 128-wide re-pack (Mosaic HBM DMA slices must be 128-lane aligned):
+    # one node per row, one whole leaf per row; pad to whole windows
+    nodes = jnp.pad(tracer.nodes, ((0, (-tracer.nodes.shape[0]) % node_win),
+                                   (0, 120)))
+    L = tracer.leaf_size
+    n_leaves = tracer.tris.shape[0] // L
+    leaves = tracer.tris.reshape(n_leaves, L * 12)
+    lpad = (-n_leaves) % tri_win
+    leaves = jnp.pad(leaves, ((0, lpad), (0, 128 - L * 12)))
+    if lpad:
+        # padded leaves must never report a hit: face_id lanes -> -1
+        fid_mask = jnp.zeros((lpad, 128), leaves.dtype)
+        fid_mask = fid_mask.at[:, [k * 12 + 9 for k in range(L)]].set(-1.0)
+        leaves = leaves.at[n_leaves:].set(fid_mask)
+    tris = leaves
 
     kernel = functools.partial(
         _kernel_streamed, leaf_size=tracer.leaf_size,
@@ -406,8 +422,8 @@ def pallas_ray_trace_streamed(tracer: Tracer, origins: jnp.ndarray,
             out_specs=pl.BlockSpec((8, tile), lambda i: (i, 0)),
             out_shape=jax.ShapeDtypeStruct((n_in * 8, tile), jnp.float32),
             scratch_shapes=[
-                pltpu.VMEM((node_win, 8), jnp.float32),
-                pltpu.VMEM((tri_win, 12), jnp.float32),
+                pltpu.VMEM((node_win, 128), jnp.float32),
+                pltpu.VMEM((tri_win, 128), jnp.float32),
                 pltpu.SemaphoreType.DMA,
                 pltpu.SemaphoreType.DMA,
             ],
