@@ -455,6 +455,232 @@ def pallas_ray_trace_streamed(tracer: Tracer, origins: jnp.ndarray,
     return t, u, v, face, valid
 
 
+def _kernel_ordered(rays_ref, nodes_ref, tris_ref, out_ref, stack_ref, *,
+                    leaf_size: int, n_nodes: int, stack_depth: int):
+    """Near-child-first union traversal with a per-tile stack (the Mosaic
+    fusion of intersect.ray_trace_tiled_ordered): pop a node, prune it
+    against the CURRENT t_best, descend into the child whose box the
+    tile's rays enter nearer on average, push the far child. Early, close
+    hits shrink t_best so pop-time pruning culls far subtrees — preorder
+    union instead visits every box the tile touches in a fixed order.
+
+    stack_ref is SMEM (scalar memory allows dynamic indexing); requires a
+    preorder tree (right sibling = left child's skip pointer)."""
+    ox = rays_ref[0:1, :]
+    oy = rays_ref[1:2, :]
+    oz = rays_ref[2:3, :]
+    dx = rays_ref[3:4, :]
+    dy = rays_ref[4:5, :]
+    dz = rays_ref[5:6, :]
+
+    def safe(v):
+        return jnp.where(jnp.abs(v) < 1e-12, 1e-12, v)
+
+    ix = 1.0 / safe(dx)
+    iy = 1.0 / safe(dy)
+    iz = 1.0 / safe(dz)
+
+    def slab(nd, t_best):
+        tx0 = (nd[0, 0] - ox) * ix
+        tx1 = (nd[0, 3] - ox) * ix
+        ty0 = (nd[0, 1] - oy) * iy
+        ty1 = (nd[0, 4] - oy) * iy
+        tz0 = (nd[0, 2] - oz) * iz
+        tz1 = (nd[0, 5] - oz) * iz
+        tlo = jnp.maximum(jnp.maximum(jnp.minimum(tx0, tx1),
+                                      jnp.minimum(ty0, ty1)),
+                          jnp.minimum(tz0, tz1))
+        thi = jnp.minimum(jnp.minimum(jnp.maximum(tx0, tx1),
+                                      jnp.maximum(ty0, ty1)),
+                          jnp.maximum(tz0, tz1))
+        hit = (thi >= jnp.maximum(tlo, 0.0)) & (tlo <= t_best)
+        return hit, tlo
+
+    def body(state):
+        sp, t_best, u_b, v_b, f_b = state
+        sp1 = sp - 1
+        node = stack_ref[sp1]                       # 0-based
+        nd = nodes_ref[pl.ds(node, 1), :]
+        hit, _ = slab(nd, t_best)                   # pop-time pruning
+        any_hit = jnp.any(hit)
+        desc = nd[0, 7]
+        is_leaf = desc <= 0.0
+        do_leaf = any_hit & is_leaf
+
+        def leaf_case(args):
+            t_best, u_b, v_b, f_b = args
+            base = (-desc).astype(jnp.int32)
+            for k in range(leaf_size):
+                row = tris_ref[pl.ds(jnp.clip(base + k, 0,
+                                              tris_ref.shape[0] - 1), 1), :]
+                v0x, v0y, v0z = row[0, 0], row[0, 1], row[0, 2]
+                e1x, e1y, e1z = row[0, 3], row[0, 4], row[0, 5]
+                e2x, e2y, e2z = row[0, 6], row[0, 7], row[0, 8]
+                fid = row[0, 9]
+                px = dy * e2z - dz * e2y
+                py = dz * e2x - dx * e2z
+                pz = dx * e2y - dy * e2x
+                det = e1x * px + e1y * py + e1z * pz
+                inv_det = jnp.where(jnp.abs(det) > _MT_EPS, 1.0 / det, 0.0)
+                tx = ox - v0x
+                ty = oy - v0y
+                tz = oz - v0z
+                u = (tx * px + ty * py + tz * pz) * inv_det
+                qx = ty * e1z - tz * e1y
+                qy = tz * e1x - tx * e1z
+                qz = tx * e1y - ty * e1x
+                v = (dx * qx + dy * qy + dz * qz) * inv_det
+                t = (e2x * qx + e2y * qy + e2z * qz) * inv_det
+                ok = ((jnp.abs(det) > _MT_EPS) & (u >= 0.0) & (v >= 0.0)
+                      & (u + v <= 1.0) & (t > 0.0) & (fid >= 0.0)
+                      & hit & (t < t_best))
+                t_best = jnp.where(ok, t, t_best)
+                u_b = jnp.where(ok, u, u_b)
+                v_b = jnp.where(ok, v, v_b)
+                f_b = jnp.where(ok, fid, f_b)
+            return t_best, u_b, v_b, f_b
+
+        t_best, u_b, v_b, f_b = jax.lax.cond(
+            do_leaf, leaf_case, lambda a: a, (t_best, u_b, v_b, f_b))
+
+        # internal: box-test both children, push far then near
+        do_int = any_hit & jnp.logical_not(is_leaf)
+
+        child_l = jnp.clip(desc.astype(jnp.int32) - 1, 0, n_nodes - 1)
+        nd_l = nodes_ref[pl.ds(child_l, 1), :]
+        # preorder invariant: right sibling = left child's skip pointer
+        child_r = jnp.clip(nd_l[0, 6].astype(jnp.int32) - 1, 0, n_nodes - 1)
+        nd_r = nodes_ref[pl.ds(child_r, 1), :]
+        hit_l, tlo_l = slab(nd_l, t_best)
+        hit_r, tlo_r = slab(nd_r, t_best)
+        hit_l = hit_l & do_int
+        hit_r = hit_r & do_int
+        nl = jnp.sum(hit_l.astype(jnp.float32))
+        nr = jnp.sum(hit_r.astype(jnp.float32))
+        mean_l = jnp.sum(jnp.where(hit_l, tlo_l, 0.0)) / jnp.maximum(nl, 1.0)
+        mean_r = jnp.sum(jnp.where(hit_r, tlo_r, 0.0)) / jnp.maximum(nr, 1.0)
+        any_l = nl > 0.0
+        any_r = nr > 0.0
+        l_near = jnp.where(any_l & any_r, mean_l <= mean_r, any_l)
+        far = jnp.where(l_near, child_r, child_l)
+        near = jnp.where(l_near, child_l, child_r)
+        push_far = any_l & any_r
+        push_near = any_l | any_r
+
+        sp2 = sp1
+
+        @pl.when(push_far)
+        def _():
+            stack_ref[jnp.minimum(sp2, stack_depth - 1)] = far
+
+        sp3 = sp2 + push_far.astype(jnp.int32)
+
+        @pl.when(push_near)
+        def _():
+            stack_ref[jnp.minimum(sp3, stack_depth - 1)] = near
+
+        sp4 = jnp.minimum(sp3 + push_near.astype(jnp.int32), stack_depth)
+        return sp4, t_best, u_b, v_b, f_b
+
+    def cond(state):
+        return state[0] > 0
+
+    stack_ref[0] = jnp.int32(0)                     # root
+    tile = ox.shape
+    init = (
+        jnp.int32(1),
+        jnp.full(tile, T_MISS, jnp.float32),
+        jnp.zeros(tile, jnp.float32),
+        jnp.zeros(tile, jnp.float32),
+        jnp.full(tile, -1.0, jnp.float32),
+    )
+    _, t_best, u_b, v_b, f_b = jax.lax.while_loop(cond, body, init)
+    out_ref[0:1, :] = t_best
+    out_ref[1:2, :] = u_b
+    out_ref[2:3, :] = v_b
+    out_ref[3:4, :] = f_b
+    out_ref[4:8, :] = jnp.zeros((4,) + t_best.shape[1:], jnp.float32)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "tile", "interpret", "max_rays_per_call", "stack_depth"))
+def pallas_ray_trace_ordered(tracer: Tracer, origins: jnp.ndarray,
+                             dirs: jnp.ndarray, tile: int = 8192,
+                             interpret: bool = False,
+                             max_rays_per_call: int = 1 << 16,
+                             stack_depth: int = 64):
+    """Near-first + pop-time-pruned variant of pallas_ray_trace (VMEM-
+    resident BVH, preorder layout required). Same results as the other
+    kernels; faster where early close hits let pruning bite.
+    Returns (t, u, v, face_id, valid), each (B,)."""
+    assert tracer.layout == "preorder", \
+        "ordered traversal needs the preorder (SAH) node layout"
+    origins = jax.lax.stop_gradient(origins)
+    dirs = jax.lax.stop_gradient(dirs)
+    B = origins.shape[0]
+    pad = (-B) % tile
+    if pad:
+        origins = jnp.concatenate([origins, jnp.zeros((pad, 3))], 0)
+        dirs = jnp.concatenate(
+            [dirs, jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0]),
+                                    (pad, 3))], 0)
+    nt = (B + pad) // tile
+    o = origins.reshape(nt, tile, 3)
+    d = dirs.reshape(nt, tile, 3)
+    rays = jnp.concatenate([
+        jnp.swapaxes(o, 1, 2), jnp.swapaxes(d, 1, 2),
+        jnp.zeros((nt, 2, tile)),
+    ], axis=1).reshape(nt * 8, tile)
+
+    kernel = functools.partial(_kernel_ordered, leaf_size=tracer.leaf_size,
+                               n_nodes=tracer.n_nodes,
+                               stack_depth=stack_depth)
+
+    chunk_nt = max(1, max_rays_per_call // tile)
+
+    def call(rays_chunk):
+        n_in = rays_chunk.shape[0] // 8
+        return pl.pallas_call(
+            kernel,
+            grid=(n_in,),
+            in_specs=[
+                pl.BlockSpec((8, tile), lambda i: (i, 0)),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((8, tile), lambda i: (i, 0)),
+            out_shape=jax.ShapeDtypeStruct((n_in * 8, tile), jnp.float32),
+            scratch_shapes=[
+                pltpu.SMEM((stack_depth,), jnp.int32),
+            ],
+            interpret=interpret,
+        )(rays_chunk, tracer.nodes, tracer.tris)
+
+    if nt <= chunk_nt:
+        out = call(rays)
+    else:
+        n_super = -(-nt // chunk_nt)
+        pad_t = n_super * chunk_nt - nt
+        rays = rays.reshape(nt, 8, tile)
+        if pad_t:
+            filler = jnp.zeros((pad_t, 8, tile), rays.dtype)
+            filler = filler.at[:, 5].set(1.0)
+            rays = jnp.concatenate([rays, filler], 0)
+        parts = [call(rays[s * chunk_nt:(s + 1) * chunk_nt].reshape(
+            chunk_nt * 8, tile)) for s in range(n_super)]
+        out = jnp.concatenate(
+            [p.reshape(chunk_nt, 8, tile) for p in parts], 0
+        )[:nt].reshape(nt * 8, tile)
+
+    out = out.reshape(nt, 8, tile)
+    t = out[:, 0].reshape(-1)[:B]
+    u = out[:, 1].reshape(-1)[:B]
+    v = out[:, 2].reshape(-1)[:B]
+    face = out[:, 3].reshape(-1)[:B].astype(jnp.int32)
+    valid = face >= 0
+    return t, u, v, face, valid
+
+
 def vmem_bytes(tracer: Tracer) -> int:
     return int(tracer.nodes.size + tracer.tris.size) * 4
 

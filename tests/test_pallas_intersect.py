@@ -94,3 +94,30 @@ def test_pallas_streamed_matches_resident_interpret():
                                   node_win=128, tri_win=128)
     for x, y in zip(a, b):
         assert np.array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_pallas_ordered_matches_brute_interpret():
+    """Near-first + pruned kernel vs brute force (traversal ORDER differs
+    from the other kernels, results must not)."""
+    import pytest
+
+    from iris_tpu.geometry.pallas_intersect import (pallas_ray_trace_ordered,
+                                                    pallas_streamable)
+
+    mesh, _ = make_box_scene(n_clutter=12, seed=5)
+    tris = mesh.triangles()
+    tracer = build_bvh(tris)
+    if not pallas_streamable(tracer):
+        pytest.skip("native SAH builder unavailable (heap layout)")
+    o, d = random_rays(512, seed=13)
+    t, u, v, face, valid = pallas_ray_trace_ordered(
+        tracer, jnp.asarray(o), jnp.asarray(d), tile=128, interpret=True,
+        stack_depth=32)
+    p2, _, _, i2, v2 = ray_intersect_brute(jnp.asarray(tris),
+                                           jnp.asarray(o), jnp.asarray(d))
+    assert np.array_equal(np.asarray(valid), np.asarray(v2))
+    pv = np.asarray(valid)
+    p1 = np.asarray(o) + np.asarray(t)[:, None] * np.asarray(d)
+    assert np.allclose(p1[pv], np.asarray(p2)[pv], atol=1e-3)
+    same = (np.asarray(face) == np.asarray(i2))[pv]
+    assert same.mean() > 0.99

@@ -73,11 +73,36 @@ def trained(tmp_path_factory):
         "--ckpt_path", os.path.join(ck, "init", "last.pkl"),
         "--cache_dir", os.path.join(out, "shading"),
         "--lp", "0.005", "--la", "0.01"])
+
+    # --- refine loop (pipeline stages 7+9; the emitter-refine stage is
+    # skipped because the fixture injects the GT radiance): re-bake the
+    # SLF with the learned CRF, re-bake shadings with the learned BRDF,
+    # train brdf1 against the refined caches
+    from iris_tpu.pipeline import refine_shading, slf_refine
+    slf_refine.main(common + [
+        "--load", "vslf.npz", "--save", "vslf_0.npz",
+        "--ckpt", os.path.join(ck, "q_brdf", "last.pkl")])
+    refine_shading.main(common + [
+        "--slf_path", os.path.join(out, "vslf_0.npz"),
+        "--emitter_path", p,
+        "--ckpt", os.path.join(ck, "q_brdf", "last.pkl"),
+        "--output", os.path.join(out, "shading_1"),
+        "--spp_diffuse", "32", "--spp_specular", "16",
+        "--indir_depth", "2"])
+    train_common_1 = [
+        os.path.join(out, "vslf_0.npz")
+        if a == os.path.join(out, "vslf.npz") else a
+        for a in train_common]
+    train_brdf_crf.main(train_common_1 + [
+        "--experiment_name", os.path.join("q_brdf1"),
+        "--max_steps", "400",
+        "--ckpt_path", os.path.join(ck, "init", "last.pkl"),
+        "--cache_dir", os.path.join(out, "shading_1"),
+        "--lp", "0.005", "--la", "0.01"])
     return root, out, ck
 
 
-def test_albedo_structure_recovered(trained):
-    root, out, ck = trained
+def _albedo_corrs(root, ck, exp):
     from iris_tpu.geometry.bvh import build_bvh
     from iris_tpu.geometry.intersect import ray_intersect
     from iris_tpu.geometry.mesh import load_mesh
@@ -95,15 +120,36 @@ def test_albedo_structure_recovered(trained):
                                         jnp.asarray(d, jnp.float32))
     mask = np.asarray(valid)
     gt = np.asarray(gt_mat_fn(pos)["albedo"])[mask]
-    p = load_pytree(os.path.join(ck, "q_brdf", "last.pkl"))["material"]
+    p = load_pytree(os.path.join(ck, exp, "last.pkl"))["material"]
     tr = np.asarray(ngp_brdf_apply(p, pos)["albedo"])[mask]
+    return [np.corrcoef(tr[:, c], gt[:, c])[0, 1] for c in range(3)]
 
+
+def test_albedo_structure_recovered(trained):
+    root, out, ck = trained
     # spatial structure: strong same-channel correlation for the channels
     # with real GT variation (R: std 0.20, G: std 0.13; B's GT std 0.06 is
     # below the recoverable signal at this scale)
+    corrs = _albedo_corrs(root, ck, "q_brdf")
+    print("[quality] brdf0 albedo corr:", corrs)
     for c, floor in ((0, 0.5), (1, 0.4)):
-        corr = np.corrcoef(tr[:, c], gt[:, c])[0, 1]
-        assert corr > floor, (c, corr)
+        assert corrs[c] > floor, (c, corrs[c])
+
+
+def test_albedo_structure_after_refine_loop(trained):
+    """The refine loop (slf_refine + refine_shading + brdf1) must at least
+    hold the brdf0 recovery, and historically improves it (the stage-6
+    energy deficit the round-2 investigation measured is recovered by
+    re-baking with the learned BRDF — reference train.sh runs the same
+    loop)."""
+    root, out, ck = trained
+    c0 = _albedo_corrs(root, ck, "q_brdf")
+    c1 = _albedo_corrs(root, ck, "q_brdf1")
+    print("[quality] brdf0 -> brdf1 albedo corr:", c0, "->", c1)
+    for c, floor in ((0, 0.5), (1, 0.4)):
+        assert c1[c] > floor, (c, c1[c])
+    # no material regression vs brdf0 on the structured channels
+    assert c1[0] > c0[0] - 0.1 and c1[1] > c0[1] - 0.1, (c0, c1)
 
 
 def test_render_loss_drops(trained):
