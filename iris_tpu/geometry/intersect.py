@@ -431,17 +431,24 @@ def ray_intersect(tracer: Tracer, xs: jnp.ndarray, ds: jnp.ndarray,
         xs_t, ds_t = xs, ds
     if mode and tile:
         from iris_tpu.geometry.pallas_intersect import (
-            pallas_ray_trace, pallas_ray_trace_streamed)
+            pallas_ray_trace, pallas_ray_trace_ordered,
+            pallas_ray_trace_streamed)
 
         if mode == "streamed":
             t, u, v, face, valid = pallas_ray_trace_streamed(
                 tracer, xs_t, ds_t, tile=8192)
+        elif tracer.n_faces >= 5000 and tracer.layout == "preorder":
+            # big resident trees: the near-first pruned kernel wins
+            # (coherent 1.75x, realistic bounce 1.27x vs plain union;
+            # PERF.md round-2 probes)
+            t, u, v, face, valid = pallas_ray_trace_ordered(
+                tracer, xs_t, ds_t, tile=8192)
         else:
-            # tile sweep (PERF.md): sorted-incoherent peaks at 8192,
-            # coherent keeps gaining to 16384
+            # small trees: the union sweep is already cheap; the plain
+            # kernel's 1 slab/step beats ordered's 3 (9.9 vs 9.7 / 8.2
+            # vs 7.1 Mrays/s at 398 faces)
             t, u, v, face, valid = pallas_ray_trace(
-                tracer, xs_t, ds_t, tile=8192 if perm is not None
-                else 16384)
+                tracer, xs_t, ds_t, tile=16384)
     elif tile:
         t, u, v, face, valid = ray_trace_tiled_ordered(tracer, xs_t, ds_t,
                                                        tile)

@@ -87,7 +87,7 @@ def trained(tmp_path_factory):
         "--emitter_path", p,
         "--ckpt", os.path.join(ck, "q_brdf", "last.pkl"),
         "--output", os.path.join(out, "shading_1"),
-        "--spp_diffuse", "32", "--spp_specular", "16",
+        "--spp_diffuse", "64", "--spp_specular", "32",
         "--indir_depth", "2"])
     train_common_1 = [
         os.path.join(out, "vslf_0.npz")
