@@ -94,3 +94,24 @@ def test_ordered_tiled_matches_brute():
     assert np.allclose(p1[pv], np.asarray(p2)[pv], atol=1e-3)
     same = (np.asarray(face) == np.asarray(i2))[pv]
     assert same.mean() > 0.99
+
+
+def test_pallas_mode_policy_cpu():
+    """Kernel auto-selection: CPU-pinned runs must always take the XLA
+    path; the escape hatch and the ray-count floor gate the TPU path."""
+    import os
+
+    from iris_tpu.geometry.bvh import build_bvh
+    from iris_tpu.geometry.intersect import _pallas_mode
+    from iris_tpu.geometry.procedural import make_box_scene
+
+    mesh, _ = make_box_scene(n_clutter=4, seed=0)
+    tracer = build_bvh(mesh.triangles())
+    # tests pin jax_default_device to CPU (conftest) -> always None
+    assert _pallas_mode(tracer, 1 << 18) is None
+    assert _pallas_mode(tracer, 16) is None
+    os.environ["IRIS_TPU_NO_PALLAS"] = "1"
+    try:
+        assert _pallas_mode(tracer, 1 << 18) is None
+    finally:
+        del os.environ["IRIS_TPU_NO_PALLAS"]
