@@ -63,6 +63,11 @@ default_options = {
     # update-scale for the emitter radiance leaf (1.0 = reference parity;
     # raw radiance under Adam crawls at ~lr/step — see train/optim.py)
     "radiance_lr_scale": {"type": float, "default": 1.0},
+    # opt-in log-space emitter radiance leaf (radiance = exp(param)): Adam
+    # then moves radiance multiplicatively, reaching bright emitters from a
+    # dark init in O(log(target/init)/lr) steps instead of target/lr (see
+    # train/steps.py radiance_to_param). 0 = reference parity.
+    "radiance_log_space": {"type": int, "default": 0},
 }
 
 

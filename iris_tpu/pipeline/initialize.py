@@ -28,7 +28,10 @@ from iris_tpu.train.checkpoint import (
 )
 from iris_tpu.train.loop import run_training
 from iris_tpu.train.optim import make_optimizer
-from iris_tpu.train.steps import LossConfig, make_initialize_loss, check_max_segments
+from iris_tpu.train.steps import (
+    LossConfig, check_max_segments, make_initialize_loss, param_to_radiance,
+    radiance_to_param,
+)
 
 
 def main(argv=None):
@@ -61,6 +64,12 @@ def main(argv=None):
     if args.resume:
         params, opt_state, start_step = load_train_state(state_out, out,
                                                          params)
+    log_rad = bool(getattr(args, "radiance_log_space", 0))
+    if log_rad and start_step == 0 and opt_state is None:
+        # fresh start or params-only fallback hold PLAIN radiance; a
+        # full-state resume already holds the trained log-space leaf
+        params = {**params,
+                  "radiance": radiance_to_param(params["radiance"])}
 
     dataset = make_dataset(args, "train", load_inverse=True,
                            has_part=bool(args.has_part))
@@ -77,6 +86,7 @@ def main(argv=None):
         spp=args.spp, n_spp_rounds=max(args.SPP // args.spp, 1),
         ld=args.ld, lp=args.lp, ls=args.ls, la=args.la,
         max_segments=args.max_segments, has_part=bool(args.has_part),
+        radiance_log_space=log_rad,
     )
     loss_fn = make_initialize_loss(tracer, em, crf, cfg)
     optimizer = make_optimizer(args.learning_rate, args.weight_decay,
@@ -98,7 +108,9 @@ def main(argv=None):
             tracer, em, crf, vb, val_ds.img_hw,
             os.path.join("outputs", args.experiment_name, args.dir_val),
             val_step=args.val_step, spp=args.spp,
-            indir_depth=args.indir_depth, crf_gt=val_ds.crfs))
+            indir_depth=args.indir_depth, crf_gt=val_ds.crfs,
+            param_tx=(lambda p: {**p, "radiance": param_to_radiance(
+                p["radiance"])}) if log_rad else None))
     except Exception as e:  # val split optional
         print("[initialize] no validation split:", e)
 
@@ -109,10 +121,17 @@ def main(argv=None):
         opt_state=opt_state, start_step=start_step,
         state_hooks=[make_state_saver(state_out, args.save_every)],
         return_state=True)
-    save_pytree(out, jax.device_get(params))
+    # state file keeps the TRAINED leaf (log-space when enabled) so
+    # --resume is exact; the stage artifact always stores plain radiance
+    # for downstream wire-format compatibility.
     save_pytree(state_out, {"params": jax.device_get(params),
                             "opt_state": jax.device_get(opt_state),
                             "step": args.max_steps})
+    final = jax.device_get(params)
+    if log_rad:
+        final = {**final, "radiance": jax.device_get(
+            param_to_radiance(final["radiance"]))}
+    save_pytree(out, final)
     print(f"[train - BRDF-emission] time (s): {time.time() - t0:.1f}")
     print("[initialize] saved", out)
 

@@ -27,7 +27,10 @@ from iris_tpu.train.checkpoint import (
 )
 from iris_tpu.train.loop import run_training
 from iris_tpu.train.optim import make_optimizer
-from iris_tpu.train.steps import LossConfig, make_train_emitter_loss
+from iris_tpu.train.steps import (
+    LossConfig, make_train_emitter_loss, param_to_radiance,
+    radiance_to_param,
+)
 
 
 def main(argv=None):
@@ -57,6 +60,7 @@ def main(argv=None):
     if "crf_weight" in prev:
         crf = dc_replace(crf, weight=jnp.asarray(prev["crf_weight"]))
 
+    log_rad = bool(getattr(args, "radiance_log_space", 0))
     params = {"radiance": em.radiance}
     out = ckpt_path(args.checkpoint_path, args.experiment_name,
                     "emitter_last.pkl")
@@ -66,6 +70,11 @@ def main(argv=None):
     if args.resume:
         params, opt_state, start_step = load_train_state(state_out, out,
                                                          params)
+    if log_rad and start_step == 0 and opt_state is None:
+        # fresh start or params-only fallback: both hold PLAIN radiance;
+        # a full-state resume already holds the trained log-space leaf
+        params = {**params,
+                  "radiance": radiance_to_param(params["radiance"])}
 
     dataset = make_dataset(args, "train")
     bank = dataset.pixel_bank(keys=("rays", "rgbs"))
@@ -76,7 +85,8 @@ def main(argv=None):
               f"{args.max_epochs} -> max_steps={args.max_steps}")
 
     cfg = LossConfig(spp=args.spp,
-                     n_spp_rounds=max(args.SPP // args.spp, 1))
+                     n_spp_rounds=max(args.SPP // args.spp, 1),
+                     radiance_log_space=log_rad)
     loss_fn = make_train_emitter_loss(tracer, em, material, crf, cfg)
     optimizer = make_optimizer(args.learning_rate, args.weight_decay,
                                tuple(args.milestones), args.scheduler_rate,
@@ -98,7 +108,9 @@ def main(argv=None):
             os.path.join("outputs", args.experiment_name, args.dir_val),
             val_step=args.val_step, spp=args.spp,
             indir_depth=args.indir_depth, crf_gt=val_ds.crfs,
-            frozen={"material": material, "crf_weight": crf.weight}))
+            frozen={"material": material, "crf_weight": crf.weight},
+            param_tx=(lambda p: {**p, "radiance": param_to_radiance(
+                jnp.asarray(p["radiance"]))}) if log_rad else None))
     except Exception as e:  # val split optional
         print("[train_emitter] no validation split:", e)
     t0 = time.time()
@@ -109,10 +121,17 @@ def main(argv=None):
         opt_state=opt_state, start_step=start_step,
         state_hooks=[make_state_saver(state_out, args.save_every)],
         return_state=True)
-    save_pytree(out, jax.device_get(params))
+    # state file keeps the TRAINED leaf (log-space when enabled) so
+    # --resume is exact; the stage artifact always stores plain radiance
+    # for downstream wire-format compatibility.
     save_pytree(state_out, {"params": jax.device_get(params),
                             "opt_state": jax.device_get(opt_state),
                             "step": args.max_steps})
+    final = jax.device_get(params)
+    if log_rad:
+        final = {**final, "radiance": jax.device_get(
+            param_to_radiance(jnp.asarray(final["radiance"])))}
+    save_pytree(out, final)
     print(f"[train - emitter] time (s): {time.time() - t0:.1f}")
     print("[train_emitter] saved", out)
 

@@ -55,6 +55,32 @@ class LossConfig:
                                    # semantic propagation loss (reference
                                    # uses 1024; 256 keeps the estimator
                                    # variance low at fixed-shape cost)
+    radiance_log_space: bool = False  # opt-in: train softplus^-1(radiance)
+                                   # so Adam moves radiance multiplicatively
+                                   # (raw radiance crawls at ~lr/step from a
+                                   # dark init — reference behavior too)
+
+
+_RAD_EPS = 1e-4
+
+
+def radiance_to_param(radiance, log_space: bool = True):
+    """Stored emitter radiance -> trainable leaf. With log_space the leaf
+    is log(max(r, eps)): Adam's per-step motion of ~lr in param space then
+    MULTIPLIES radiance by ~e^lr instead of adding lr, so a bright emitter
+    is reached from a dark init in O(log(target/init)/lr) steps instead of
+    target/lr (softplus would not help — it is linear above ~1)."""
+    if not log_space:
+        return radiance
+    return jnp.log(jnp.maximum(jnp.asarray(radiance, jnp.float32),
+                               _RAD_EPS))
+
+
+def param_to_radiance(param, log_space: bool = True):
+    """Trainable leaf -> positive radiance (exp in log-space)."""
+    if not log_space:
+        return param
+    return jnp.exp(param)
 
 
 def _seg_ids(segmentation, max_segments):
@@ -163,7 +189,8 @@ def make_initialize_loss(tracer, em_template, crf: EmorCRF, cfg: LossConfig):
         dxdu, dydv = rays[..., 6:9], rays[..., 9:12]
         exposure = batch.get("exposure")
 
-        em = dc_replace(em_template, radiance=params["radiance"])
+        em = dc_replace(em_template, radiance=param_to_radiance(
+            params["radiance"], cfg.radiance_log_space))
         # render with material detached: only the emitter takes render grads
         # (reference initialize.py:170-186 requires_grad toggling)
         mat_frozen = jax.lax.stop_gradient(params["material"])
@@ -210,7 +237,8 @@ def make_train_emitter_loss(tracer, em_template, material_params,
         rays, rgbs_gt = batch["rays"], batch["rgbs"]
         xs, ds = rays[..., 0:3], normalize(rays[..., 3:6])
         dxdu, dydv = rays[..., 6:9], rays[..., 9:12]
-        em = dc_replace(em_template, radiance=params["radiance"])
+        em = dc_replace(em_template, radiance=param_to_radiance(
+            params["radiance"], cfg.radiance_log_space))
         l = jnp.zeros_like(xs)
         for r in range(cfg.n_spp_rounds):
             l = l + path_tracing_single(

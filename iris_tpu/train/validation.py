@@ -48,15 +48,17 @@ class ScalarLogger:
 def make_validation_hook(
     tracer, em_template, crf_template, val_batch, img_hw,
     out_dir: str, val_step: int = 250, spp: int = 8, indir_depth: int = 5,
-    crf_gt=None, frozen: dict | None = None,
+    crf_gt=None, frozen: dict | None = None, param_tx=None,
 ):
     """Hook(step, params, loss, aux): every val_step, render the validation
     frame with both integrators from the CURRENT params, dump PNGs + CRF
     plot. Accepts params dicts containing any of material / radiance /
     crf_weight; `frozen` supplies the non-trained leaves (e.g. the fixed
     material during train_emitter — reference train_emitter.py renders val
-    frames too)."""
+    frames too). `param_tx` maps trainable leaves to model space (jax-
+    traceable; e.g. softplus for --radiance_log_space)."""
     frozen = frozen or {}
+    param_tx = param_tx or (lambda p: p)
     os.makedirs(out_dir, exist_ok=True)
     rays = jnp.asarray(val_batch["rays"])
     xs, ds = rays[..., :3], normalize(rays[..., 3:6])
@@ -65,7 +67,7 @@ def make_validation_hook(
 
     @jax.jit
     def render(params, key):
-        params = {**frozen, **params}
+        params = param_tx({**frozen, **params})
         em = em_template
         if "radiance" in params:
             em = dc_replace(em, radiance=params["radiance"])
@@ -84,7 +86,7 @@ def make_validation_hook(
             return
         l_train, l_full, crf_curves = render(params,
                                              jax.random.PRNGKey(step))
-        params = {**frozen, **params}
+        params = param_tx({**frozen, **params})
         crf = dc_replace(crf_template, weight=jnp.asarray(
             params["crf_weight"])) if "crf_weight" in params else crf_template
         for name, img in [("L_train", l_train), ("L_full", l_full)]:

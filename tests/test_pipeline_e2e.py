@@ -115,9 +115,15 @@ def test_full_pipeline(demo_root, tmp_path_factory):
     train_emitter.main(common + [
         "--experiment_name", "emitter", "--max_steps", "5",
         "--ckpt_path", brdf_ckpt,
+        "--radiance_log_space", "1",   # exercise the log-space leaf wiring
     ])
-    assert os.path.exists(os.path.join(ckpt_root, "emitter",
-                                       "emitter_last.pkl"))
+    em_pkl = os.path.join(ckpt_root, "emitter", "emitter_last.pkl")
+    assert os.path.exists(em_pkl)
+    # the stage artifact must store PLAIN radiance (wire format), not the
+    # trained log-space leaf
+    from iris_tpu.train.checkpoint import load_pytree
+    rad = np.asarray(load_pytree(em_pkl)["radiance"])
+    assert np.all(np.isfinite(rad)) and rad.min() >= 0.0
 
     # ---- stage 9: refine_shading (tiny budgets)
     from iris_tpu.pipeline import refine_shading

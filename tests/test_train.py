@@ -251,3 +251,74 @@ def test_radiance_lr_scale_accelerates_emitter():
     assert np.allclose(np.asarray(p10["material"]),
                        np.asarray(p1["material"]))
     assert scale_updates_for_key(base, "radiance", 1.0) is base
+
+
+def test_radiance_param_roundtrip():
+    from iris_tpu.train.steps import param_to_radiance, radiance_to_param
+
+    r = jnp.asarray([1e-4, 1e-2, 0.5, 1.0, 10.0, 100.0, 1000.0])
+    back = param_to_radiance(radiance_to_param(r))
+    assert np.allclose(np.asarray(back), np.asarray(r), rtol=1e-5)
+    # identity when disabled
+    assert radiance_to_param(r, False) is r
+    assert param_to_radiance(r, False) is r
+    # near-zero init clamps instead of producing -inf/nan
+    assert np.all(np.isfinite(np.asarray(radiance_to_param(
+        jnp.zeros((4, 3))))))
+
+
+def test_radiance_log_space_converges_faster():
+    """From a dark init toward a bright (radiance=10) emitter, the
+    log-space leaf reaches the target in far fewer Adam steps than the
+    linear leaf, which crawls at ~lr/step (the TODO.md quality finding)."""
+    import optax
+
+    from iris_tpu.train.steps import param_to_radiance, radiance_to_param
+
+    tracer, em, ngp, crf, _ = _tiny()
+    batch = make_demo_batch(n_side=8)
+    # GT pixels rendered with the TRUE radiance (em is the bright emitter)
+    import functools
+
+    from iris_tpu.core.vecmath import normalize
+    from iris_tpu.models.brdf import ngp_brdf_apply
+    from iris_tpu.models.crf import crf_forward
+    from iris_tpu.render.integrator import path_tracing_single
+
+    rays = jnp.asarray(batch["rays"])
+    xs, ds = rays[..., :3], normalize(rays[..., 3:6])
+    l_gt = path_tracing_single(
+        jax.random.PRNGKey(7), tracer, em, functools.partial(
+            ngp_brdf_apply, ngp), xs, ds, rays[..., 6:9], rays[..., 9:12], 8)
+    batch = dict(batch, rgbs=np.asarray(crf_forward(crf, l_gt, 1.0)))
+
+    dark = jnp.full_like(em.radiance, 0.05)
+    true_r = np.asarray(em.radiance)
+
+    def run(log_space, steps=30, lr=0.25):
+        cfg = LossConfig(spp=4, radiance_log_space=log_space)
+        loss_fn = make_train_emitter_loss(tracer, em, ngp, crf, cfg)
+        params = {"radiance": radiance_to_param(dark, log_space)}
+        opt = optax.adam(lr)
+        st = opt.init(params)
+
+        @jax.jit
+        def step(p, s, k):
+            g = jax.grad(lambda q: loss_fn(q, batch, k)[0])(p)
+            up, s = opt.update(g, s, p)
+            return optax.apply_updates(p, up), s
+
+        for i in range(steps):
+            params, st = step(params, st, jax.random.PRNGKey(i))
+        return np.asarray(param_to_radiance(params["radiance"], log_space))
+
+    r_lin = run(False)
+    r_log = run(True)
+    # log-ratio error: the right metric for a multiplicative quantity
+    # (linear Adam moves ~lr/step and is still far below target after 30
+    # steps; log-space multiplies by ~e^lr per step and locks on)
+    err_lin = np.abs(np.log(np.maximum(r_lin, 1e-3) / true_r)).mean()
+    err_log = np.abs(np.log(np.maximum(r_log, 1e-3) / true_r)).mean()
+    assert err_log < 0.5 * err_lin, (err_log, err_lin, r_log.mean(),
+                                     r_lin.mean())
+    assert r_log.mean() > 5.0 > r_lin.mean()  # reached the bright regime
