@@ -53,11 +53,15 @@ def main():
         n_clutter=32, slf_res=64, hash_levels=HASH_LEVELS,
         log2_table=LOG2_TABLE,
     )
-    # flagship TRAIN config: stochastic-corner fwd+bwd (unbiased; quality
-    # validated against exact training — see PERF.md). Eval/render paths
-    # pass no key and stay exact.
+    # flagship TRAIN config = the trainers' defaults: stochastic-corner
+    # fwd+bwd + auto level-block-subsampled gradient scatter (n_levels/4 =
+    # 8 of 32; unbiased, quality validated — see PERF.md). Eval/render
+    # paths pass no key and stay exact.
+    from iris_tpu.models.hashgrid import auto_bwd_level_sample
     ngp = _dcr(ngp, cfg=_dcr(ngp.cfg, stochastic_fwd=True,
-                             stochastic_bwd=True))
+                             stochastic_bwd=True,
+                             bwd_level_sample=auto_bwd_level_sample(
+                                 HASH_LEVELS)))
     n_side = int(BATCH ** 0.5)
     o, d, dxdu, dydv = camera_rays(n_side)
     b = o.shape[0]

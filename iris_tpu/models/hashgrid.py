@@ -56,6 +56,16 @@ class HashGridConfig:
     #     gathers; E[feature] = trilinear feature, extra MC variance).
     stochastic_bwd: bool = field(default=True, metadata=dict(static=True))
     stochastic_fwd: bool = field(default=False, metadata=dict(static=True))
+    # Strided level-block subsampling of the stochastic BACKWARD: each
+    # train step draws ONE shared phase s and scatters cotangents only for
+    # levels {s, s+stride, 2*stride+s, ...} (bwd_level_sample of n_levels;
+    # stride = n_levels // bwd_level_sample), scaled by stride. Unbiased
+    # randomized block-coordinate gradient (E over s = full gradient); the
+    # phase-strided pattern samples every frequency band each step. Cuts
+    # the latency-bound gradient scatter — measured 63% of the 32-level
+    # train step — by n_levels/bwd_level_sample with NO extra gathers (the
+    # shared phase makes the selection a strided slice). 0 = all levels.
+    bwd_level_sample: int = field(default=0, metadata=dict(static=True))
 
     @property
     def table_size(self) -> int:
@@ -66,6 +76,17 @@ class HashGridConfig:
         return np.floor(
             self.base_resolution * self.per_level_scale ** l
         ).astype(np.int64)
+
+
+def auto_bwd_level_sample(n_levels: int, ratio: int = 4) -> int:
+    """Largest divisor of n_levels that is <= n_levels/ratio (>=1): the
+    default ~ratio-x gradient-scatter reduction that quality A/Bs showed
+    indistinguishable from the full scatter (PERF.md round 2)."""
+    target = max(n_levels // ratio, 1)
+    for k in range(target, 0, -1):
+        if n_levels % k == 0:
+            return k
+    return 1
 
 
 def init_hashgrid(key: jax.Array, cfg: HashGridConfig) -> jnp.ndarray:
@@ -171,40 +192,63 @@ _weighted_lookup_packed_p.defvjp(_weighted_lookup_packed_fwd,
 
 # ------------------------------------------------- stochastic-corner lookups
 
-def _scatter_chosen(g, chosen_idx, n_features, block, tsize):
+def _scatter_chosen(g, chosen_idx, phase, n_features, block, tsize,
+                    levels=0, bwd_k=0):
     """Cotangent via ONE f32 1-D scatter per feature at the sampled corner.
 
     Unbiased: the corner was sampled with its trilinear weight as
     probability and importance weight exactly 1 (separable Bernoulli
-    selection), so E[scatter] equals the exact 8-corner cotangent."""
-    acc = jnp.zeros((tsize,), g.dtype)
-    for j in range(n_features):
-        acc = acc.at[chosen_idx + j * block].add(g[j])
+    selection), so E[scatter] equals the exact 8-corner cotangent.
+
+    With bwd_k in (0, levels): strided level-block subsampling — keep only
+    levels {j*stride + phase} (a strided SLICE of the level-minor (B, L)
+    layout, no gathers), scale by stride. E over phase = full cotangent."""
+    cols = [g[j] for j in range(g.shape[0])]
+    if bwd_k and levels and bwd_k < levels:
+        stride = levels // bwd_k
+        b = chosen_idx.shape[0] // levels
+        scale = jnp.asarray(stride, g.dtype)
+
+        def sel(a):
+            # flat m = q*levels + lvl, lvl = j*stride + r  ->  slice r=phase
+            a3 = a.reshape(b, bwd_k, stride)
+            return jax.lax.squeeze(
+                jax.lax.dynamic_slice_in_dim(a3, phase, 1, axis=2),
+                (2,)).reshape(b * bwd_k)
+
+        chosen_idx = sel(chosen_idx)
+        cols = [sel(c) * scale for c in cols]
+    acc = jnp.zeros((tsize,), cols[0].dtype)
+    for j, c in enumerate(cols):
+        acc = acc.at[chosen_idx + j * block].add(c)
     return acc
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
-def _lookup_stoch_bwd_p(table, idxs, weights, chosen_idx,
-                        n_features, block, packed):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9))
+def _lookup_stoch_bwd_p(table, idxs, weights, chosen_idx, phase,
+                        n_features, block, packed, levels, bwd_k):
     if packed:
         return _lookup_packed_impl(table, idxs, weights, block)
     return _lookup_impl(table, idxs, weights, n_features, block)
 
 
-def _lookup_stoch_bwd_fwd(table, idxs, weights, chosen_idx,
-                          n_features, block, packed):
-    out = _lookup_stoch_bwd_p(table, idxs, weights, chosen_idx,
-                              n_features, block, packed)
-    return out, (chosen_idx, table.shape[0], idxs.shape, weights.shape)
+def _lookup_stoch_bwd_fwd(table, idxs, weights, chosen_idx, phase,
+                          n_features, block, packed, levels, bwd_k):
+    out = _lookup_stoch_bwd_p(table, idxs, weights, chosen_idx, phase,
+                              n_features, block, packed, levels, bwd_k)
+    return out, (chosen_idx, phase, table.shape[0], idxs.shape,
+                 weights.shape)
 
 
-def _lookup_stoch_bwd_bwd(n_features, block, packed, res, g):
-    chosen_idx, tsize, ishape, wshape = res
-    d_table = _scatter_chosen(g, chosen_idx, n_features, block, tsize)
+def _lookup_stoch_bwd_bwd(n_features, block, packed, levels, bwd_k, res, g):
+    chosen_idx, phase, tsize, ishape, wshape = res
+    d_table = _scatter_chosen(g, chosen_idx, phase, n_features, block,
+                              tsize, levels, bwd_k)
     return (d_table,
             jnp.zeros(ishape, jax.dtypes.float0),
             jnp.zeros(wshape, jnp.float32),
-            jnp.zeros(chosen_idx.shape, jax.dtypes.float0))
+            jnp.zeros(chosen_idx.shape, jax.dtypes.float0),
+            jnp.zeros(phase.shape, jax.dtypes.float0))
 
 
 _lookup_stoch_bwd_p.defvjp(_lookup_stoch_bwd_fwd, _lookup_stoch_bwd_bwd)
@@ -228,20 +272,24 @@ def _stoch_gather_impl(table, chosen_idx, n_features, block, packed):
         [table[chosen_idx + j * block] for j in range(n_features)], 0)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
-def _stoch_lookup_p(table, chosen_idx, n_features, block, packed):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
+def _stoch_lookup_p(table, chosen_idx, phase, n_features, block, packed,
+                    levels, bwd_k):
     return _stoch_gather_impl(table, chosen_idx, n_features, block, packed)
 
 
-def _stoch_lookup_fwd(table, chosen_idx, n_features, block, packed):
+def _stoch_lookup_fwd(table, chosen_idx, phase, n_features, block, packed,
+                      levels, bwd_k):
     return (_stoch_gather_impl(table, chosen_idx, n_features, block, packed),
-            (chosen_idx, table.shape[0]))
+            (chosen_idx, phase, table.shape[0]))
 
 
-def _stoch_lookup_bwd(n_features, block, packed, res, g):
-    chosen_idx, tsize = res
-    d_table = _scatter_chosen(g, chosen_idx, n_features, block, tsize)
-    return (d_table, jnp.zeros(chosen_idx.shape, jax.dtypes.float0))
+def _stoch_lookup_bwd(n_features, block, packed, levels, bwd_k, res, g):
+    chosen_idx, phase, tsize = res
+    d_table = _scatter_chosen(g, chosen_idx, phase, n_features, block,
+                              tsize, levels, bwd_k)
+    return (d_table, jnp.zeros(chosen_idx.shape, jax.dtypes.float0),
+            jnp.zeros(phase.shape, jax.dtypes.float0))
 
 
 _stoch_lookup_p.defvjp(_stoch_lookup_fwd, _stoch_lookup_bwd)
@@ -294,6 +342,19 @@ def hashgrid_encode(
     blk = cfg.n_levels * cfg.table_size
     packed = cfg.packed_gather and cfg.n_features == 2
 
+    # strided level-block subsampling of the backward scatter (see
+    # HashGridConfig.bwd_level_sample): one shared phase per step
+    bwd_k = cfg.bwd_level_sample if stoch else 0
+    phase = jnp.zeros((), jnp.int32)
+    if bwd_k and 0 < bwd_k < l:
+        if l % bwd_k:
+            raise ValueError(
+                f"bwd_level_sample={bwd_k} must divide n_levels={l}")
+        key, k_phase = jax.random.split(key)
+        phase = jax.random.randint(k_phase, (), 0, l // bwd_k)
+    else:
+        bwd_k = 0
+
     chosen_idx = None
     if stoch:
         # Separable corner sampling: per-axis Bernoulli(frac) — the chosen
@@ -310,8 +371,8 @@ def hashgrid_encode(
         # 1 gather + (in bwd) 1 scatter per feature, both at the sampled
         # corner — the full 8-corner index/weight arrays are never built.
         chosen_idx = jax.lax.optimization_barrier(chosen_idx)
-        feats = _stoch_lookup_p(table, chosen_idx, cfg.n_features, blk,
-                                packed)
+        feats = _stoch_lookup_p(table, chosen_idx, phase, cfg.n_features,
+                                blk, packed, l, bwd_k)
     else:
         idxs = []
         weights = []
@@ -334,7 +395,8 @@ def hashgrid_encode(
         if stoch and cfg.stochastic_bwd:
             chosen_idx = jax.lax.optimization_barrier(chosen_idx)
             feats = _lookup_stoch_bwd_p(table, idxs, weights, chosen_idx,
-                                        cfg.n_features, blk, packed)
+                                        phase, cfg.n_features, blk, packed,
+                                        l, bwd_k)
         elif packed:
             feats = _weighted_lookup_packed_p(table, idxs, weights, blk)
         else:

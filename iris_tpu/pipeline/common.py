@@ -86,12 +86,18 @@ def load_emitter(path: str, mesh: Mesh, slf: VoxelSLF | None = None
 
 
 def build_material(args, voxel_min, voxel_max, key=None) -> NGPBRDF:
+    from iris_tpu.models.hashgrid import auto_bwd_level_sample
+
+    bls = int(getattr(args, "bwd_level_sample", -1))
+    if bls < 0:   # -1 = auto: ~4x scatter reduction (quality-validated)
+        bls = auto_bwd_level_sample(args.hash_levels)
     cfg = HashGridConfig(n_levels=args.hash_levels,
                          log2_table_size=args.log2_hashmap_size,
                          stochastic_bwd=bool(
                              getattr(args, "stochastic_bwd", 1)),
                          stochastic_fwd=bool(
-                             getattr(args, "stochastic_fwd", 1)))
+                             getattr(args, "stochastic_fwd", 1)),
+                         bwd_level_sample=bls)
     key = key if key is not None else jax.random.PRNGKey(0)
     return init_ngp_brdf(key, voxel_min, voxel_max, cfg)
 

@@ -54,6 +54,12 @@ default_options = {
     # only — eval/render paths never pass a key and stay exact)
     "stochastic_bwd": {"type": int, "default": 1},
     "stochastic_fwd": {"type": int, "default": 1},
+    # strided level-block subsampling of the hash-grid gradient scatter:
+    # K of n_levels levels updated per step (must divide n_levels). The
+    # scatter is 63% of the 32-level train step on TPU; K = n_levels/4
+    # cuts it 4x, unbiased, quality-indistinguishable (PERF.md round-2
+    # A/B). -1 = that auto default; 0 = scatter all levels.
+    "bwd_level_sample": {"type": int, "default": -1},
     "max_segments": {"type": int, "default": 128},
     # periodic full-state checkpoint cadence (steps) for kill-and-resume
     "save_every": {"type": int, "default": 1000},

@@ -352,3 +352,40 @@ def test_hashgrid_stochastic_fwd_unbiased():
     g_mean = jnp.mean(gs, 0)
     scale = jnp.abs(g_exact).max()
     assert jnp.abs(g_mean - g_exact).max() / scale < 0.12
+
+
+def test_hashgrid_bwd_level_sample_unbiased():
+    """E over keys of the strided level-block-subsampled backward == exact
+    grad (phase uniform over strides, kept levels scaled by stride), for
+    both the exact-fwd and stochastic-fwd estimator variants."""
+    from dataclasses import replace
+
+    cfg0 = HashGridConfig(n_levels=4, log2_table_size=8, base_resolution=4,
+                          per_level_scale=1.5)
+    cfg_exact = replace(cfg0, stochastic_bwd=False)
+    table = init_hashgrid(jax.random.PRNGKey(0), cfg0) * 1e4
+    x = jax.random.uniform(jax.random.PRNGKey(1), (32, 3))
+    co = jax.random.normal(jax.random.PRNGKey(2),
+                           (32, cfg0.n_levels * cfg0.n_features))
+
+    def loss(t, k, c):
+        return jnp.sum(hashgrid_encode(t, c, x, k) * co)
+
+    g_exact = jax.grad(loss)(table, None, cfg_exact)
+    keys = jax.random.split(jax.random.PRNGKey(3), 1024)
+    scale = jnp.abs(g_exact).max()
+    for cfg in (replace(cfg0, bwd_level_sample=2),
+                replace(cfg0, bwd_level_sample=2, stochastic_fwd=True)):
+        gs = jax.jit(jax.vmap(lambda k: jax.grad(loss)(table, k, cfg)))(keys)
+        err = jnp.abs(jnp.mean(gs, 0) - g_exact).max() / scale
+        assert err < 0.15, (cfg.stochastic_fwd, float(err))
+        # a single draw must only touch bwd_level_sample of n_levels levels
+        g1 = jax.grad(loss)(table, keys[0], cfg)
+        per_level = np.abs(np.asarray(g1)).reshape(
+            cfg.n_features, cfg.n_levels, -1).sum(-1).sum(0)
+        assert (per_level > 0).sum() <= cfg.bwd_level_sample, per_level
+
+    import pytest
+    with pytest.raises(ValueError, match="bwd_level_sample"):
+        hashgrid_encode(table, replace(cfg0, bwd_level_sample=3), x,
+                        jax.random.PRNGKey(0))
