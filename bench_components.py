@@ -56,6 +56,11 @@ def main():
             "exact": (dc_replace(cfg0, stochastic_bwd=False), False),
             "stoch_bwd": (cfg0, True),
             "stoch_fwd": (dc_replace(cfg0, stochastic_fwd=True), True),
+            # trainer default: stochastic fwd+bwd + 4x level-block
+            # subsampled scatter
+            "stoch_fwd_ls4": (dc_replace(cfg0, stochastic_fwd=True,
+                                         bwd_level_sample=levels // 4),
+                              True),
         }
         for name, (cfg, use_key) in variants.items():
             def enc_loss(tab, k, cfg=cfg, use_key=use_key):
@@ -69,7 +74,10 @@ def main():
                 dt = bench_keyed(enc, jax.random.PRNGKey(1))
                 report(f"hashgrid{levels}_fwd_queries_per_s", dt, n,
                        "queries/s")
-            encg = jax.jit(lambda k, f=enc_loss: jax.grad(f)(table, k)[0])
+            # NB: reduce the FULL grad — indexing [0] can let XLA
+            # dead-code the backward scatter (PERF.md hygiene)
+            encg = jax.jit(
+                lambda k, f=enc_loss: jnp.sum(jax.grad(f)(table, k)))
             dt = bench_keyed(encg, jax.random.PRNGKey(2))
             report(f"hashgrid{levels}_{name}_fwd_bwd_queries_per_s", dt, n,
                    "queries/s")
@@ -90,9 +98,14 @@ def main():
                                 dydv, SPP)
         return jnp.mean(crf_forward(crf, l, 1.0) ** 2)
 
-    for name, use_key in (("exact", False), ("stoch_bwd", True)):
+    from dataclasses import replace as _dcr
+    ngp_ls = _dcr(ngp, cfg=_dcr(ngp.cfg, stochastic_fwd=True,
+                                bwd_level_sample=ngp.cfg.n_levels // 4))
+    for name, use_key, p in (("exact", False, ngp),
+                             ("stoch_bwd", True, ngp),
+                             ("stoch_fwd_ls4", True, ngp_ls)):
         gradf = jax.jit(
-            lambda k, u=use_key: jax.grad(loss)(ngp, k, u).table[0])
+            lambda k, u=use_key, p=p: jnp.sum(jax.grad(loss)(p, k, u).table))
         dt = bench_keyed(gradf, jax.random.PRNGKey(4))
         report(f"pts_fwd_bwd_{name}_rays_per_s", dt, o.shape[0] * SPP,
                "rays/s")
