@@ -8,9 +8,15 @@ at the REFERENCE model capacity: 32 hash levels x 2^19 table
 (reference model/brdf.py:222-240).
 
 Timing hygiene (PERF.md): every iteration uses a FRESH ray batch and a
-fresh PRNG key, and fetches the loss scalar to host before the clock
-stops — repeated-args loops and fetch-free `block_until_ready` report
-fantasy numbers on this backend.
+fresh PRNG key — repeated-args loops and fetch-free `block_until_ready`
+report fantasy numbers on this backend. Timing is CHAINED-CARRY
+(probe_floor.py): iteration i's ray origins depend on iteration i-1's
+loss (x 1e-12, numerically invisible but not foldable) and the final
+loss is fetched to host, so no step can be elided or reordered, while
+the ~50-100 ms/iteration of pure tunnel RTT that a fetch-per-iteration
+loop adds (measured: 59 ms for a trivial jit) stays out of the clock.
+The grads are jit outputs of every call, so the backward stays live
+(PERF.md DCE trap).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 `vs_baseline` is measured against BASELINE_BENCH.json at repo root (the
@@ -34,8 +40,8 @@ import numpy as np
 
 BATCH = 8192          # reference training batch (configs/config.py:9)
 SPP = 32              # reference per-round spp (train.sh:20)
-WARMUP = 2
-ITERS = 8
+WARMUP = 4
+ITERS = 24
 HASH_LEVELS = 32      # reference model/brdf.py:223
 LOG2_TABLE = 19       # reference model/brdf.py:226
 
@@ -94,15 +100,24 @@ def main():
     batches = jax.block_until_ready(batches)
 
     key = jax.random.PRNGKey(0)
-    for i in range(WARMUP):
-        v, g = grad_fn(params, *batches[i], jax.random.fold_in(key, i))
-        float(v)  # host fetch
+    keys = jax.block_until_ready(
+        [jax.random.fold_in(key, i) for i in range(WARMUP + ITERS)])
 
+    # warmup chain (compile + pipeline fill), fetched before the clock
+    carry = jnp.float32(0.0)
+    for i in range(WARMUP):
+        ro, rd = batches[i]
+        carry, g = grad_fn(params, ro + carry * 1e-12, rd, keys[i])
+    float(carry)
+
+    # timed chain: one fetch at the end; each step's origins depend on the
+    # previous step's loss, so the device must run all ITERS steps in order
     t0 = time.time()
+    carry = jnp.float32(0.0)
     for i in range(ITERS):
-        v, g = grad_fn(params, *batches[WARMUP + i],
-                       jax.random.fold_in(key, 100 + i))
-        float(v)  # host fetch per iteration: the only credible timer here
+        ro, rd = batches[WARMUP + i]
+        carry, g = grad_fn(params, ro + carry * 1e-12, rd, keys[WARMUP + i])
+    float(carry)
     dt = (time.time() - t0) / ITERS
 
     rays_per_s = b * SPP / dt

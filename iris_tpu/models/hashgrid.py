@@ -66,6 +66,16 @@ class HashGridConfig:
     # train step — by n_levels/bwd_level_sample with NO extra gathers (the
     # shared phase makes the selection a strided slice). 0 = all levels.
     bwd_level_sample: int = field(default=0, metadata=dict(static=True))
+    # Strided level-block subsampling of the stochastic FORWARD: each train
+    # step draws ONE shared phase and gathers only fwd_level_sample of
+    # n_levels levels (same strided-slice selection as bwd_level_sample),
+    # scaling kept features by stride and zeroing the rest — inverse-scaled
+    # block dropout on the encode. E over phases of the ENCODE is exact;
+    # like stochastic_fwd itself, the estimate is biased through the
+    # nonlinear MLP, so it is opt-in and quality-gated (PERF.md round 2f).
+    # Cuts the per-step gather count AND all corner index math by
+    # n_levels/fwd_level_sample. Requires stochastic_fwd; 0 = all levels.
+    fwd_level_sample: int = field(default=0, metadata=dict(static=True))
 
     @property
     def table_size(self) -> int:
@@ -316,12 +326,45 @@ def hashgrid_encode(
     mask = jnp.uint32(cfg.table_size - 1)
 
     x = jnp.clip(x, 0.0, 1.0)
+
+    stoch = key is not None and (cfg.stochastic_bwd or cfg.stochastic_fwd)
+
+    # strided level-block subsampling of the forward gather (see
+    # HashGridConfig.fwd_level_sample): slice every per-level array to the
+    # fwd_k sampled levels BEFORE any per-query math, so index computation,
+    # corner sampling and the gather all shrink by the stride.
+    if (cfg.fwd_level_sample and key is not None
+            and not cfg.stochastic_fwd):
+        raise ValueError("fwd_level_sample requires stochastic_fwd")
+    fwd_k = (cfg.fwd_level_sample
+             if (stoch and cfg.stochastic_fwd) else 0)
+    fphase = None
+    if fwd_k and 0 < fwd_k < l:
+        if l % fwd_k:
+            raise ValueError(
+                f"fwd_level_sample={fwd_k} must divide n_levels={l}")
+        key, k_fphase = jax.random.split(key)
+        fstride = l // fwd_k
+        fphase = jax.random.randint(k_fphase, (), 0, fstride)
+
+        def lsel(a):
+            a2 = jnp.asarray(a).reshape(fwd_k, fstride)
+            return jax.lax.squeeze(
+                jax.lax.dynamic_slice_in_dim(a2, fphase, 1, axis=1), (1,))
+
+        res, res_i = lsel(res), lsel(res_i)
+        dense_ok, level_off = lsel(dense_ok), lsel(level_off)
+        l_eff = fwd_k
+    else:
+        fwd_k = 0
+        l_eff = l
+
     # everything below lives in FLAT (M,) = (B*L,) 1-D arrays: 1-D layouts
     # are unpadded T(1024); any (B, L) or (..., 3) shape gets (8,128)-tiled
     # with large sublane padding.
-    res_u = jnp.broadcast_to(res_i[None, :], (b, l)).reshape(-1)
-    dense_f = jnp.broadcast_to(dense_ok[None, :], (b, l)).reshape(-1)
-    off_f = jnp.broadcast_to(level_off[None, :], (b, l)).reshape(-1)
+    res_u = jnp.broadcast_to(res_i[None, :], (b, l_eff)).reshape(-1)
+    dense_f = jnp.broadcast_to(dense_ok[None, :], (b, l_eff)).reshape(-1)
+    off_f = jnp.broadcast_to(level_off[None, :], (b, l_eff)).reshape(-1)
 
     def corner_index(cx, cy, cz):
         dense = cx + res_u * (cy + res_u * cz)
@@ -338,20 +381,21 @@ def hashgrid_encode(
         cell.append(c0.astype(jnp.uint32))
         frac.append(p - c0)
 
-    stoch = key is not None and (cfg.stochastic_bwd or cfg.stochastic_fwd)
     blk = cfg.n_levels * cfg.table_size
     packed = cfg.packed_gather and cfg.n_features == 2
 
     # strided level-block subsampling of the backward scatter (see
-    # HashGridConfig.bwd_level_sample): one shared phase per step
+    # HashGridConfig.bwd_level_sample): one shared phase per step. With
+    # fwd_level_sample active it nests inside the fwd-sampled levels.
     bwd_k = cfg.bwd_level_sample if stoch else 0
     phase = jnp.zeros((), jnp.int32)
-    if bwd_k and 0 < bwd_k < l:
-        if l % bwd_k:
+    if bwd_k and 0 < bwd_k < l_eff:
+        if l_eff % bwd_k:
             raise ValueError(
-                f"bwd_level_sample={bwd_k} must divide n_levels={l}")
+                f"bwd_level_sample={bwd_k} must divide the "
+                f"{'fwd-sampled ' if fwd_k else ''}level count {l_eff}")
         key, k_phase = jax.random.split(key)
-        phase = jax.random.randint(k_phase, (), 0, l // bwd_k)
+        phase = jax.random.randint(k_phase, (), 0, l_eff // bwd_k)
     else:
         bwd_k = 0
 
@@ -359,7 +403,7 @@ def hashgrid_encode(
     if stoch:
         # Separable corner sampling: per-axis Bernoulli(frac) — the chosen
         # corner's probability IS its trilinear weight, importance weight 1.
-        u3 = jax.random.uniform(key, (3, b * l))
+        u3 = jax.random.uniform(key, (3, b * l_eff))
         bits = [u3[c] < jax.lax.stop_gradient(frac[c]) for c in range(3)]
         chosen_idx = corner_index(
             cell[0] + bits[0].astype(jnp.uint32),
@@ -372,7 +416,7 @@ def hashgrid_encode(
         # corner — the full 8-corner index/weight arrays are never built.
         chosen_idx = jax.lax.optimization_barrier(chosen_idx)
         feats = _stoch_lookup_p(table, chosen_idx, phase, cfg.n_features,
-                                blk, packed, l, bwd_k)
+                                blk, packed, l_eff, bwd_k)
     else:
         idxs = []
         weights = []
@@ -396,7 +440,7 @@ def hashgrid_encode(
             chosen_idx = jax.lax.optimization_barrier(chosen_idx)
             feats = _lookup_stoch_bwd_p(table, idxs, weights, chosen_idx,
                                         phase, cfg.n_features, blk, packed,
-                                        l, bwd_k)
+                                        l_eff, bwd_k)
         elif packed:
             feats = _weighted_lookup_packed_p(table, idxs, weights, blk)
         else:
@@ -404,5 +448,20 @@ def hashgrid_encode(
                                     blk)
     # (F, B*L) -> (B, F*L); feature order is a fixed permutation absorbed
     # by the learned first MLP layer, so no 3-D transpose is needed.
+    if fwd_k:
+        # place the fwd-sampled levels back into the full (B, L) feature
+        # layout: kept levels scaled by the stride (inverse-dropout), the
+        # rest zero. The strided positions are a dynamic_update_slice on
+        # the (B, K, stride) view — no scatters.
+        fscale = jnp.asarray(l // fwd_k, feats.dtype)
+
+        def place(col):
+            z = jnp.zeros((b, fwd_k, l // fwd_k), col.dtype)
+            z = jax.lax.dynamic_update_slice_in_dim(
+                z, (col * fscale).reshape(b, fwd_k, 1), fphase, axis=2)
+            return z.reshape(b, l)
+
+        return jnp.concatenate(
+            [place(feats[j]) for j in range(cfg.n_features)], axis=-1)
     return jnp.concatenate(
         [feats[j].reshape(b, l) for j in range(cfg.n_features)], axis=-1)

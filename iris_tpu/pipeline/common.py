@@ -97,7 +97,9 @@ def build_material(args, voxel_min, voxel_max, key=None) -> NGPBRDF:
                              getattr(args, "stochastic_bwd", 1)),
                          stochastic_fwd=bool(
                              getattr(args, "stochastic_fwd", 1)),
-                         bwd_level_sample=bls)
+                         bwd_level_sample=bls,
+                         fwd_level_sample=int(
+                             getattr(args, "fwd_level_sample", 0)))
     key = key if key is not None else jax.random.PRNGKey(0)
     return init_ngp_brdf(key, voxel_min, voxel_max, cfg)
 

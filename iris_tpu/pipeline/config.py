@@ -60,6 +60,12 @@ default_options = {
     # cuts it 4x, unbiased, quality-indistinguishable (PERF.md round-2
     # A/B). -1 = that auto default; 0 = scatter all levels.
     "bwd_level_sample": {"type": int, "default": -1},
+    # strided level-block subsampling of the FORWARD encode gather during
+    # training (requires stochastic_fwd): K of n_levels levels gathered
+    # per step, kept features scaled by stride (inverse-scaled block
+    # dropout; eval/render stay exact). 0 = off (default: dropout changes
+    # the training objective, so it is opt-in — see PERF.md round 2f).
+    "fwd_level_sample": {"type": int, "default": 0},
     "max_segments": {"type": int, "default": 128},
     # periodic full-state checkpoint cadence (steps) for kill-and-resume
     "save_every": {"type": int, "default": 1000},

@@ -35,6 +35,35 @@ def bench_keyed(fn, key, iters: int = 5, warmup: int = 1):
     return (time.time() - t0) / iters
 
 
+def bench_chained(step, iters: int = 8, warmup: int = 2):
+    """Chained-carry timing: removes the per-iteration host round trip.
+
+    `step(i, carry)` must return a scalar jax array that depends on the
+    iteration's full computation, and must feed `carry` into its inputs in
+    a way the compiler cannot fold away (e.g. `origins + carry * 1e-12`).
+    All `iters` calls are enqueued back-to-back and ONE scalar is fetched
+    at the end: the device executes enqueued programs in stream order and
+    each call's inputs depend on the previous call's outputs, so the wall
+    clock is a true lower-bound-tight measure of device throughput, while
+    fetch-per-iteration timing adds ~40 ms of tunnel RTT to every
+    iteration (measured, probe_floor.py). Grads must be jit OUTPUTS of
+    the step to stay live (PERF.md DCE trap).
+
+    Returns seconds per iteration."""
+    import jax.numpy as jnp
+
+    carry = jnp.float32(0.0)
+    for i in range(warmup):
+        carry = step(i, carry)
+    _fetch(carry)
+    carry = jnp.float32(0.0)
+    t0 = time.time()
+    for i in range(iters):
+        carry = step(warmup + i, carry)
+    _fetch(carry)
+    return (time.time() - t0) / iters
+
+
 def bench_batched(fn, make_input, iters: int = 5, warmup: int = 1):
     """Time fn(x_i) with freshly generated inputs (pre-built outside the
     timed region). make_input(i) -> pytree."""

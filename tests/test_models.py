@@ -389,3 +389,64 @@ def test_hashgrid_bwd_level_sample_unbiased():
     with pytest.raises(ValueError, match="bwd_level_sample"):
         hashgrid_encode(table, replace(cfg0, bwd_level_sample=3), x,
                         jax.random.PRNGKey(0))
+
+
+def test_hashgrid_fwd_level_sample_unbiased():
+    """E over keys of the fwd level-block-subsampled ENCODE == exact encode
+    (kept levels scaled by stride, others zero; phase uniform), and a
+    single draw touches exactly fwd_level_sample levels."""
+    from dataclasses import replace
+
+    cfg0 = HashGridConfig(n_levels=4, log2_table_size=8, base_resolution=4,
+                          per_level_scale=1.5, stochastic_fwd=True,
+                          fwd_level_sample=2)
+    cfg_exact = replace(cfg0, stochastic_fwd=False, stochastic_bwd=False,
+                        fwd_level_sample=0)
+    table = init_hashgrid(jax.random.PRNGKey(0), cfg0) * 1e4
+    x = jax.random.uniform(jax.random.PRNGKey(1), (32, 3))
+
+    e_exact = hashgrid_encode(table, cfg_exact, x)
+    keys = jax.random.split(jax.random.PRNGKey(3), 2048)
+    es = jax.jit(jax.vmap(lambda k: hashgrid_encode(table, cfg0, x, k)))(keys)
+    scale = jnp.abs(e_exact).max()
+    err = jnp.abs(jnp.mean(es, 0) - e_exact).max() / scale
+    assert err < 0.1, float(err)
+
+    # one draw: exactly K of L level blocks nonzero, each a strided set
+    e1 = np.asarray(hashgrid_encode(table, cfg0, x, keys[0]))
+    per_level = np.abs(e1).reshape(32, cfg0.n_features,
+                                   cfg0.n_levels).sum((0, 1))
+    assert (per_level > 0).sum() == cfg0.fwd_level_sample, per_level
+    nz = np.nonzero(per_level)[0]
+    assert nz[1] - nz[0] == cfg0.n_levels // cfg0.fwd_level_sample
+
+    # gradient over keys is unbiased for a linear functional of the encode
+    co = jax.random.normal(jax.random.PRNGKey(2),
+                           (32, cfg0.n_levels * cfg0.n_features))
+
+    def loss(t, k, c):
+        return jnp.sum(hashgrid_encode(t, c, x, k) * co)
+
+    g_exact = jax.grad(loss)(table, None, cfg_exact)
+    gs = jax.jit(jax.vmap(lambda k: jax.grad(loss)(table, k, cfg0)))(keys)
+    gerr = jnp.abs(jnp.mean(gs, 0) - g_exact).max() / jnp.abs(g_exact).max()
+    assert gerr < 0.15, float(gerr)
+
+    # composes with bwd_level_sample nested inside the sampled levels
+    cfg_both = replace(cfg0, bwd_level_sample=1)
+    g1 = jax.grad(loss)(table, keys[0], cfg_both)
+    per_level_g = np.abs(np.asarray(g1)).reshape(
+        cfg0.n_features, cfg0.n_levels, -1).sum(-1).sum(0)
+    assert (per_level_g > 0).sum() <= 1, per_level_g
+    gs2 = jax.jit(jax.vmap(lambda k: jax.grad(loss)(table, k, cfg_both)))(keys)
+    gerr2 = (jnp.abs(jnp.mean(gs2, 0) - g_exact).max()
+             / jnp.abs(g_exact).max())
+    assert gerr2 < 0.25, float(gerr2)
+
+    import pytest
+    with pytest.raises(ValueError, match="fwd_level_sample"):
+        hashgrid_encode(table, replace(cfg0, fwd_level_sample=3), x,
+                        jax.random.PRNGKey(0))
+    with pytest.raises(ValueError, match="stochastic_fwd"):
+        hashgrid_encode(table, replace(cfg0, stochastic_fwd=False), x,
+                        jax.random.PRNGKey(0))
