@@ -85,23 +85,48 @@ def load_emitter(path: str, mesh: Mesh, slf: VoxelSLF | None = None
                         radiance=z["emitter_radiance"], slf=slf)
 
 
-def build_material(args, voxel_min, voxel_max, key=None) -> NGPBRDF:
+def _estimator_fields(args, n_levels: int) -> dict:
     from iris_tpu.models.hashgrid import auto_bwd_level_sample
 
     bls = int(getattr(args, "bwd_level_sample", -1))
     if bls < 0:   # -1 = auto: ~4x scatter reduction (quality-validated)
-        bls = auto_bwd_level_sample(args.hash_levels)
+        bls = auto_bwd_level_sample(n_levels)
+    return dict(stochastic_bwd=bool(getattr(args, "stochastic_bwd", 1)),
+                stochastic_fwd=bool(getattr(args, "stochastic_fwd", 1)),
+                bwd_level_sample=bls,
+                fwd_level_sample=int(getattr(args, "fwd_level_sample", 0)))
+
+
+def build_material(args, voxel_min, voxel_max, key=None) -> NGPBRDF:
     cfg = HashGridConfig(n_levels=args.hash_levels,
                          log2_table_size=args.log2_hashmap_size,
-                         stochastic_bwd=bool(
-                             getattr(args, "stochastic_bwd", 1)),
-                         stochastic_fwd=bool(
-                             getattr(args, "stochastic_fwd", 1)),
-                         bwd_level_sample=bls,
-                         fwd_level_sample=int(
-                             getattr(args, "fwd_level_sample", 0)))
+                         **_estimator_fields(args, args.hash_levels))
     key = key if key is not None else jax.random.PRNGKey(0)
     return init_ngp_brdf(key, voxel_min, voxel_max, cfg)
+
+
+def adopt_estimator_cfg(tree, args):
+    """Re-attach the CURRENT stage's estimator policy to a warm-started
+    material (or to any pytree containing NGPBRDF nodes, e.g. a restored
+    optimizer state whose Adam moments mirror the params structure).
+    Checkpoints carry the static HashGridConfig they were saved with; the
+    model-defining fields (levels, table size, resolutions) must stay with
+    the weights, but the training-policy fields (stochastic_*,
+    *_level_sample) belong to the stage's flags — without this, a warm
+    start silently ignores them (found by an A/B whose arms were
+    bit-identical), and a resumed opt_state with a stale cfg breaks jit
+    pytree matching."""
+    from dataclasses import replace
+
+    def adopt_one(m: NGPBRDF) -> NGPBRDF:
+        new_cfg = replace(m.cfg, **_estimator_fields(args, m.cfg.n_levels))
+        return replace(m, cfg=new_cfg)
+
+    if isinstance(tree, NGPBRDF):
+        return adopt_one(tree)
+    return jax.tree_util.tree_map(
+        lambda x: adopt_one(x) if isinstance(x, NGPBRDF) else x,
+        tree, is_leaf=lambda x: isinstance(x, NGPBRDF))
 
 
 def ckpt_path(checkpoint_root: str, experiment: str, name: str = "last.pkl"

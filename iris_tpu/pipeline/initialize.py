@@ -19,8 +19,8 @@ from iris_tpu.data.datasets import RayBatcher
 from iris_tpu.models.crf import init_emor_crf
 from iris_tpu.parallel.sharding import data_mesh
 from iris_tpu.pipeline.common import (
-    build_material, ckpt_path, load_emitter, load_scene, load_vslf,
-    make_dataset,
+    adopt_estimator_cfg, build_material, ckpt_path, load_emitter,
+    load_scene, load_vslf, make_dataset,
 )
 from iris_tpu.pipeline.config import add_model_specific_args
 from iris_tpu.train.checkpoint import (
@@ -64,6 +64,8 @@ def main(argv=None):
     if args.resume:
         params, opt_state, start_step = load_train_state(state_out, out,
                                                          params)
+        params = adopt_estimator_cfg(params, args)
+        opt_state = adopt_estimator_cfg(opt_state, args)
     log_rad = bool(getattr(args, "radiance_log_space", 0))
     if log_rad and start_step == 0 and opt_state is None:
         # fresh start or params-only fallback hold PLAIN radiance; a

@@ -19,7 +19,8 @@ from iris_tpu.data.datasets import RayBatcher
 from iris_tpu.models.crf import init_emor_crf
 from iris_tpu.parallel.sharding import data_mesh
 from iris_tpu.pipeline.common import (
-    build_material, ckpt_path, load_scene, load_vslf, make_dataset,
+    adopt_estimator_cfg, build_material, ckpt_path, load_scene, load_vslf,
+    make_dataset,
 )
 from iris_tpu.pipeline.config import add_model_specific_args
 from iris_tpu.train.checkpoint import (
@@ -55,7 +56,7 @@ def main(argv=None):
     if args.ckpt_path:
         prev = load_pytree(args.ckpt_path)
         if "material" in prev:
-            material = prev["material"]
+            material = adopt_estimator_cfg(prev["material"], args)
         if args.load_crf and "crf_weight" in prev:
             crf_weight = prev["crf_weight"]
         print("[train_brdf_crf] warm start from", args.ckpt_path)
@@ -68,6 +69,8 @@ def main(argv=None):
     if args.resume:
         params, opt_state, start_step = load_train_state(state_out, out,
                                                          params)
+        params = adopt_estimator_cfg(params, args)
+        opt_state = adopt_estimator_cfg(opt_state, args)
 
     dataset = make_dataset(args, "train", load_inverse=True,
                            has_part=bool(args.has_part),

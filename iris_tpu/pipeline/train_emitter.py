@@ -18,8 +18,8 @@ from iris_tpu.data.datasets import RayBatcher
 from iris_tpu.models.crf import init_emor_crf
 from iris_tpu.parallel.sharding import data_mesh
 from iris_tpu.pipeline.common import (
-    build_material, ckpt_path, load_emitter, load_scene, load_vslf,
-    make_dataset,
+    adopt_estimator_cfg, build_material, ckpt_path, load_emitter,
+    load_scene, load_vslf, make_dataset,
 )
 from iris_tpu.pipeline.config import add_model_specific_args
 from iris_tpu.train.checkpoint import (
@@ -56,7 +56,7 @@ def main(argv=None):
                               float(slf.voxel_max))
     assert args.ckpt_path, "train_emitter needs --ckpt_path (material+CRF)"
     prev = load_pytree(args.ckpt_path)
-    material = prev["material"]
+    material = adopt_estimator_cfg(prev["material"], args)
     if "crf_weight" in prev:
         crf = dc_replace(crf, weight=jnp.asarray(prev["crf_weight"]))
 

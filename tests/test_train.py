@@ -322,3 +322,32 @@ def test_radiance_log_space_converges_faster():
     assert err_log < 0.5 * err_lin, (err_log, err_lin, r_log.mean(),
                                      r_lin.mean())
     assert r_log.mean() > 5.0 > r_lin.mean()  # reached the bright regime
+
+
+def test_warm_start_adopts_stage_estimator_flags():
+    """A warm-started material must take its estimator policy (stochastic_*,
+    *_level_sample) from the CURRENT stage's flags, not from the static cfg
+    pickled into the checkpoint — regression for the A/B whose arms were
+    bit-identical because the checkpoint cfg silently won."""
+    from argparse import Namespace
+
+    from iris_tpu.pipeline.common import adopt_estimator_cfg, build_material
+
+    mk = lambda **kw: Namespace(hash_levels=8, log2_hashmap_size=10,
+                                stochastic_bwd=1, stochastic_fwd=1,
+                                bwd_level_sample=-1, fwd_level_sample=0,
+                                **kw)
+    m = build_material(mk(), 0.0, 1.0)
+    assert m.cfg.fwd_level_sample == 0 and m.cfg.bwd_level_sample == 2
+
+    args2 = mk()
+    args2.fwd_level_sample, args2.bwd_level_sample = 4, 2
+    args2.stochastic_bwd = 0
+    m2 = adopt_estimator_cfg(m, args2)
+    assert m2.cfg.fwd_level_sample == 4
+    assert m2.cfg.bwd_level_sample == 2
+    assert not m2.cfg.stochastic_bwd
+    # model-defining fields and weights stay with the checkpoint
+    assert m2.cfg.n_levels == m.cfg.n_levels
+    assert m2.cfg.log2_table_size == m.cfg.log2_table_size
+    assert (m2.table == m.table).all()
