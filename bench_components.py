@@ -1,5 +1,8 @@
-"""Component benchmarks with fresh inputs per iteration (honest timings —
-see iris_tpu/utils/timing.py for why repeated-args loops lie here).
+"""Component benchmarks with fresh inputs per iteration, timed with
+scan-in-jit (iris_tpu.utils.timing.bench_scan): each probe runs inside one
+jitted lax.scan with a chained carry, so the numbers are pure device time —
+fetch-per-iteration loops add ~40-60 ms of tunnel RTT per iteration and
+host-side loops are host-bound below ~100 ms/call (PERF.md round 2e/2f).
 
 Prints one JSON line per component.
 """
@@ -22,7 +25,7 @@ def main():
     from iris_tpu.models.crf import crf_forward
     from iris_tpu.models.hashgrid import hashgrid_encode
     from iris_tpu.render.integrator import path_tracing_single
-    from iris_tpu.utils.timing import bench_batched, bench_keyed
+    from iris_tpu.utils.timing import bench_scan
 
     tracer, em, ngp, crf, _ = make_demo_scene(
         n_clutter=32, slf_res=64, hash_levels=16, log2_table=19)
@@ -41,7 +44,7 @@ def main():
         tracer,
         o0 + jax.random.uniform(k, (1, 3)) * 0.2,
         d0)[3].sum())
-    dt = bench_keyed(trace, jax.random.PRNGKey(0))
+    dt = bench_scan(trace, jax.random.PRNGKey(0))
     report("traversal_rays_per_s", dt, o0.shape[0], "rays/s")
 
     # hash-grid encode variants at 16 and the reference 32 levels
@@ -71,14 +74,14 @@ def main():
             if name == "exact":
                 enc = jax.jit(lambda k, cfg=cfg: hashgrid_encode(
                     table, cfg, jax.random.uniform(k, (n, 3))).sum())
-                dt = bench_keyed(enc, jax.random.PRNGKey(1))
+                dt = bench_scan(enc, jax.random.PRNGKey(1))
                 report(f"hashgrid{levels}_fwd_queries_per_s", dt, n,
                        "queries/s")
             # NB: reduce the FULL grad — indexing [0] can let XLA
             # dead-code the backward scatter (PERF.md hygiene)
             encg = jax.jit(
                 lambda k, f=enc_loss: jnp.sum(jax.grad(f)(table, k)))
-            dt = bench_keyed(encg, jax.random.PRNGKey(2))
+            dt = bench_scan(encg, jax.random.PRNGKey(2))
             report(f"hashgrid{levels}_{name}_fwd_bwd_queries_per_s", dt, n,
                    "queries/s")
 
@@ -86,7 +89,7 @@ def main():
     o, d, dxdu, dydv = map(jnp.asarray, camera_rays(int(B ** 0.5)))
     fwd = jax.jit(lambda k: path_tracing_single(
         k, tracer, em, demo_mat_fn(ngp), o, d, dxdu, dydv, SPP).sum())
-    dt = bench_keyed(fwd, jax.random.PRNGKey(3))
+    dt = bench_scan(fwd, jax.random.PRNGKey(3))
     report("pts_fwd_rays_per_s", dt, o.shape[0] * SPP, "rays/s")
 
     # fwd+bwd: exact grads vs the stochastic-corner train config
@@ -106,7 +109,7 @@ def main():
                              ("stoch_fwd_ls4", True, ngp_ls)):
         gradf = jax.jit(
             lambda k, u=use_key, p=p: jnp.sum(jax.grad(loss)(p, k, u).table))
-        dt = bench_keyed(gradf, jax.random.PRNGKey(4))
+        dt = bench_scan(gradf, jax.random.PRNGKey(4))
         report(f"pts_fwd_bwd_{name}_rays_per_s", dt, o.shape[0] * SPP,
                "rays/s")
 
