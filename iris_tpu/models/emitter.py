@@ -91,14 +91,17 @@ def eval_emitter(
     """
     vis = triangle_idx != -1
     safe_tri = jnp.maximum(triangle_idx, 0)
-    is_area = em.is_emitter[safe_tri] & vis
-    e_idx = jnp.maximum(em.emitter_idx[safe_tri], 0)
+    # ONE per-sample gather decides both membership and emitter id:
+    # emitter_idx is -1 exactly where is_emitter is False (make_emitter),
+    # and pdf/area collapse to one pre-divided (K,) ratio — per-element
+    # gathers are latency-bound (~11 ns each, PERF.md), so at 262K samples
+    # x 3 eval calls per train step every dropped gather is ~3 ms/step.
+    eid = em.emitter_idx[safe_tri]
+    is_area = (eid >= 0) & vis
+    e_idx = jnp.maximum(eid, 0)
 
-    emit_pdf = jnp.where(
-        is_area,
-        em.emitter_pdf[e_idx] / jnp.maximum(em.emitter_area[e_idx], 1e-12),
-        0.0,
-    )
+    pdf_over_area = em.emitter_pdf / jnp.maximum(em.emitter_area, 1e-12)
+    emit_pdf = jnp.where(is_area, pdf_over_area[e_idx], 0.0)
     le = jnp.where(is_area[:, None], em.radiance[e_idx], 0.0)
     le = le * vis[:, None]
     valid_next = (~is_area) & vis
@@ -129,7 +132,6 @@ def sample_emitter(
         jnp.searchsorted(em.emitter_cdf, jnp.maximum(sample1, 1e-12)),
         0, k - 1,
     )
-    pdf0 = em.emitter_pdf[e]
     xi1 = jnp.sqrt(sample2[..., 0])
     u = (1.0 - xi1)[:, None]
     v = (xi1 * sample2[..., 1])[:, None]
@@ -138,7 +140,9 @@ def sample_emitter(
     point = p[:, 0] * u + p[:, 1] * v + p[:, 2] * w
     wi = normalize(point - position)
     tri = em.triangle_idx[e]
-    pdf = pdf0 / jnp.maximum(em.emitter_area[e], 1e-12)
+    # pdf/area pre-divided into one (K,) ratio: one gather, not two
+    pdf_over_area = em.emitter_pdf / jnp.maximum(em.emitter_area, 1e-12)
+    pdf = pdf_over_area[e]
     return wi, pdf[:, None], tri
 
 
