@@ -69,6 +69,13 @@ default_options = {
     "max_segments": {"type": int, "default": 128},
     # periodic full-state checkpoint cadence (steps) for kill-and-resume
     "save_every": {"type": int, "default": 1000},
+    # optimizer steps per dispatch: run this many steps inside one jitted
+    # lax.scan (train/loop.py make_train_chunk). On the tunneled TPU every
+    # host->device transfer/dispatch costs ~20-60 ms RTT, which made the
+    # per-step loop host-bound (0.66 s/step vs the 0.15 s step itself).
+    # Key stream and update math are identical to chunk_steps=1; keep
+    # save_every/log_every/val_step multiples of this. 1 = unchunked.
+    "chunk_steps": {"type": int, "default": 10},
     # reference trainers budget in epochs (train.sh --max_epochs); when >0
     # this overrides --max_steps as epochs * batches_per_epoch
     "max_epochs": {"type": int, "default": 0},

@@ -122,7 +122,8 @@ def main(argv=None):
         args.max_steps, jax.random.PRNGKey(0), mesh=mesh_dev, hooks=hooks,
         opt_state=opt_state, start_step=start_step,
         state_hooks=[make_state_saver(state_out, args.save_every)],
-        return_state=True)
+        return_state=True,
+        chunk_steps=int(getattr(args, "chunk_steps", 1)))
     # state file keeps the TRAINED leaf (log-space when enabled) so
     # --resume is exact; the stage artifact always stores plain radiance
     # for downstream wire-format compatibility.

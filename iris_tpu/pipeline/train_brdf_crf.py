@@ -120,7 +120,8 @@ def main(argv=None):
         mesh=data_mesh(args.n_devices), hooks=hooks,
         opt_state=opt_state, start_step=start_step,
         state_hooks=[make_state_saver(state_out, args.save_every)],
-        return_state=True)
+        return_state=True,
+        chunk_steps=int(getattr(args, "chunk_steps", 1)))
     save_pytree(out, jax.device_get(params))
     save_pytree(state_out, {"params": jax.device_get(params),
                             "opt_state": jax.device_get(opt_state),

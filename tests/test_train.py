@@ -351,3 +351,46 @@ def test_warm_start_adopts_stage_estimator_flags():
     assert m2.cfg.n_levels == m.cfg.n_levels
     assert m2.cfg.log2_table_size == m.cfg.log2_table_size
     assert (m2.table == m.table).all()
+
+
+def test_chunked_training_matches_unchunked():
+    """chunk_steps>1 (K steps per dispatch inside one lax.scan) must
+    reproduce the unchunked loss curve and final params: same absolute-step
+    key folding, same update math, one batch stream."""
+    import optax
+
+    from iris_tpu.train.loop import run_training
+
+    def loss_fn(params, batch, key):
+        pred = batch["x"] @ params["w"]
+        noise = 0.01 * jax.random.normal(key, pred.shape)
+        loss = jnp.mean((pred + noise - batch["y"]) ** 2)
+        return loss, {"l2": loss}
+
+    rng = np.random.default_rng(0)
+    batches = [{"x": rng.normal(size=(16, 4)).astype(np.float32),
+                "y": rng.normal(size=(16, 2)).astype(np.float32)}
+               for _ in range(12)]
+    params0 = {"w": jnp.zeros((4, 2))}
+    opt = optax.adam(1e-2)
+
+    def run(chunk):
+        seen = []
+        hooks = [lambda s, p, l, a: seen.append((s, float(l)))]
+        p = run_training(loss_fn, {"w": params0["w"] + 0}, iter(batches),
+                         opt, 12, jax.random.PRNGKey(7), hooks=hooks,
+                         log_fn=None, chunk_steps=chunk)
+        return np.asarray(p["w"]), seen
+
+    w1, seen1 = run(1)
+    w4, seen4 = run(4)
+    assert [s for s, _ in seen1] == [s for s, _ in seen4]
+    l1 = np.asarray([l for _, l in seen1])
+    l4 = np.asarray([l for _, l in seen4])
+    assert np.allclose(l1, l4, rtol=1e-5, atol=1e-7), (l1, l4)
+    assert np.allclose(w1, w4, rtol=1e-5, atol=1e-7)
+
+    # remainder chunk (12 % 5 != 0) still runs every step exactly once
+    w5, seen5 = run(5)
+    assert [s for s, _ in seen5] == [s for s, _ in seen1]
+    assert np.allclose(w1, w5, rtol=1e-5, atol=1e-7)
