@@ -116,19 +116,27 @@ def make_dataset(root: str, img_hw=(48, 64), n_train: int = 6,
     @jax.jit
     def first_hit_gt(rays):
         o, d = rays[..., :3], rays[..., 3:6]
-        pos, _, _, tri, valid = ray_intersect(tracer, o, d)
+        pos, nrm, _, tri, valid = ray_intersect(tracer, o, d)
         mat = gt_mat_fn(pos)
+        from iris_tpu.models import brdf as B
         from iris_tpu.models.emitter import eval_emitter
         emit = eval_emitter(em, pos, d, tri)[0]
-        return mat["albedo"], mat["roughness"], emit, tri, valid
+        # GT a' reflectance with the same composition as the render AOV
+        # (pipeline/render.py aov_chunk; reference render.py a_prime)
+        kd = mat["albedo"] * (1 - mat["metallic"])
+        ks = 0.04 * (1 - mat["metallic"]) + mat["albedo"] * mat["metallic"]
+        s2 = jax.random.uniform(jax.random.PRNGKey(7), (pos.shape[0], 2))
+        _, _, g0, g1 = B.sample_specular(s2, -d, nrm, mat["roughness"])
+        a_prime = g0 * ks + g1 + kd
+        return (mat["albedo"], mat["roughness"], emit, tri, valid, a_prime)
 
     splits = {"train": cams_all[:n_train],
               "val": cams_all[n_train: n_train + n_val]}
     for split, cams in splits.items():
         sd = os.path.join(root, split)
         for sub in ["Image", IMG_DIR, os.path.join(IMG_DIR, "cam"),
-                    os.path.join(IMG_DIR, "albedo"), "DiffCol", "Roughness",
-                    "Emit", "IndexMA", "segmentation"]:
+                    os.path.join(IMG_DIR, "albedo"), "albedo", "DiffCol",
+                    "Roughness", "Emit", "IndexMA", "segmentation"]:
             os.makedirs(os.path.join(sd, sub), exist_ok=True)
         frames = []
         directions = get_ray_directions_blender(h, w, focal)
@@ -147,10 +155,13 @@ def make_dataset(root: str, img_hw=(48, 64), n_train: int = 6,
             save_image(ldr.reshape(h, w, 3),
                        os.path.join(sd, IMG_DIR, f"{i:03d}_0001.png"))
 
-            alb, rough, emit, tri, valid = [
+            alb, rough, emit, tri, valid, a_prime = [
                 np.asarray(x) for x in first_hit_gt(jnp.asarray(rays))]
             write_exr(os.path.join(sd, "DiffCol", f"{i:03d}_0001.exr"),
                       alb.reshape(h, w, 3))
+            # GT a' for utils/metric_brdf.py (reference FIPT albedo/ layout)
+            write_exr(os.path.join(sd, "albedo", f"{i:03d}.exr"),
+                      a_prime.reshape(h, w, 3))
             write_exr(os.path.join(sd, "Roughness", f"{i:03d}_0001.exr"),
                       np.repeat(rough, 3, -1).reshape(h, w, 3))
             write_exr(os.path.join(sd, "Emit", f"{i:03d}_0001.exr"),

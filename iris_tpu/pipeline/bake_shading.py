@@ -77,7 +77,10 @@ def _bake_maps_for_frame(tracer, em, rays, img_hw, spp_diffuse=256,
         return l0, l1
 
     def run_chunked(fn, spp, *extra):
-        batch = max(chunk_rays // spp, 1)
+        # cap the reference chunk budget at the frame's pixel count
+        # (rounded to 256): the fixed-size jit pad wasted up to 3.3x rays
+        # on small frames (PERF.md round-2g)
+        batch = min(max(chunk_rays // spp, 1), -(-n // 256) * 256)
         out = []
         n_chunks = math.ceil(n / batch)
         for c in range(n_chunks):

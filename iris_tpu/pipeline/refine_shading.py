@@ -64,6 +64,18 @@ def main(argv=None):
     parser.add_argument("--spp_diffuse", type=int, default=128)
     parser.add_argument("--spp_specular", type=int, default=64)
     parser.add_argument("--indir_depth", type=int, default=5)
+    parser.add_argument(
+        "--encode", type=str, default="exact", choices=("exact", "stoch"),
+        help="hash-grid encode at indirect vertices: exact 8-corner "
+             "(reference semantics) or the 1-corner stochastic estimator "
+             "(unbiased per query, ~6x cheaper encode; the bake is already "
+             "an spp-average so the extra variance folds into MC noise)")
+    parser.add_argument("--max_frames", type=int, default=0,
+                        help="bake only the first N frames (0 = all); "
+                             "probe/A-B harness knob")
+    parser.add_argument("--seed", type=int, default=0,
+                        help="extra fold into the per-frame sampling key "
+                             "(A/B noise-floor probes)")
     args = parser.parse_args(argv)
 
     scene_id = args.scene if args.dataset == "scannetpp" else ""
@@ -73,7 +85,22 @@ def main(argv=None):
     slf, _ = load_vslf(args.slf_path)
     em = load_emitter(args.emitter_path, mesh, slf=slf)
     material = load_pytree(args.ckpt)["material"]
-    mat_fn = functools.partial(ngp_brdf_apply, material)
+    if args.encode == "stoch":
+        from dataclasses import replace as _dcr
+        material = _dcr(material, cfg=_dcr(
+            material.cfg, stochastic_fwd=True, stochastic_bwd=True,
+            fwd_level_sample=0, bwd_level_sample=0))
+
+        def make_mat_fn(key):
+            # one key per chunk launch: the per-query corner draws come
+            # from uniform(key, (3, B*L)) inside hashgrid_encode, so the
+            # estimator stays unbiased per call; cross-bounce reuse of the
+            # key only correlates the draws, which folds into MC variance.
+            return lambda pos: ngp_brdf_apply(material, pos, key)
+    else:
+        def make_mat_fn(key):
+            del key
+            return functools.partial(ngp_brdf_apply, material)
 
     from iris_tpu.data.datasets import load_dataset
     kw = dict(split="train", res_scale=args.res_scale)
@@ -90,22 +117,30 @@ def main(argv=None):
     os.makedirs(spec_dir, exist_ok=True)
 
     spp_d, spp_s, depth = args.spp_diffuse, args.spp_specular, args.indir_depth
-    chunk_d = max(10240 * 128 // spp_d, 1)
-    chunk_s = max(10240 * 128 // spp_s, 1)
+    # reference chunk budget (refine_shading.py:103-107), capped to the
+    # frame's pixel count rounded up to 256 — the fixed-size jit pad was
+    # up to 3.3x wasted rays on small frames (PERF.md round-2g)
+    n_px = h * w
+    cap = -(-n_px // 256) * 256
+    chunk_d = min(max(10240 * 128 // spp_d, 1), cap)
+    chunk_s = min(max(10240 * 128 // spp_s, 1), cap)
 
     diff_jit = jax.jit(lambda p, wi, nr, uv, tri, k: path_tracing_det_diff(
-        k, tracer, em, mat_fn, p, wi, nr, uv, tri, spp_d, depth))
+        k, tracer, em, make_mat_fn(jax.random.fold_in(k, 94)), p, wi, nr,
+        uv, tri, spp_d, depth))
     spec_jits = {}
 
     first_jit = jax.jit(lambda x, d: ray_intersect(tracer, x, d))
 
     t0 = time.time()
     for im_id, fr in enumerate(dataset.frames()):
+        if args.max_frames and im_id >= args.max_frames:
+            break
         rays = fr["rays"]
         pos, nrm, uv, tri, valid = first_jit(jnp.asarray(rays[..., :3]),
                                              jnp.asarray(rays[..., 3:6]))
         wi = rays[..., 3:6]
-        key = jax.random.PRNGKey(im_id)
+        key = jax.random.fold_in(jax.random.PRNGKey(im_id), args.seed)
 
         nrm_hw = np.asarray(nrm).reshape(h, w, 3)
         mask_hw = np.asarray(valid).reshape(h, w)
@@ -120,8 +155,10 @@ def main(argv=None):
                 rv = float(rough)
                 spec_jits[r_idx] = jax.jit(
                     lambda p, wi_, nr, uv_, tri_, k, rv=rv:
-                    path_tracing_det_spec(k, tracer, em, mat_fn, rv, p, wi_,
-                                          nr, uv_, tri_, spp_s, depth))
+                    path_tracing_det_spec(
+                        k, tracer, em,
+                        make_mat_fn(jax.random.fold_in(k, 95)), rv, p, wi_,
+                        nr, uv_, tri_, spp_s, depth))
             l0, l1 = _chunked_det(spec_jits[r_idx], np.asarray(pos), wi,
                                   np.asarray(nrm), np.asarray(uv),
                                   np.asarray(tri), chunk_s, 2,

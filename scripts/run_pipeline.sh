@@ -45,6 +45,15 @@ SPP_BAKE_DIFFUSE=${SPP_BAKE_DIFFUSE:-256}
 SPP_REFINE_DIFFUSE=${SPP_REFINE_DIFFUSE:-128}
 SPP_REFINE_SPECULAR=${SPP_REFINE_SPECULAR:-64}
 INDIR_DEPTH=${INDIR_DEPTH:-5}
+# emitter-radiance optimizer knobs (pipeline/config.py): log-space
+# multiplicative steps + lr scale close large radiance scale gaps in few
+# steps (PERF.md round-2g). Defaults = reference parity (additive, 1x).
+RADIANCE_LOG_SPACE=${RADIANCE_LOG_SPACE:-0}
+RADIANCE_LR_SCALE=${RADIANCE_LR_SCALE:-1.0}
+RAD_ARGS="--radiance_log_space $RADIANCE_LOG_SPACE --radiance_lr_scale $RADIANCE_LR_SCALE"
+# hash-grid encode estimator for the refine_shading bake: exact (8-corner,
+# reference semantics) or stoch (1-corner unbiased, ~6x cheaper encode)
+ENCODE_REFINE=${ENCODE_REFINE:-exact}
 
 CKPT=checkpoints/$EXP
 BAKE=$CKPT/bake
@@ -65,7 +74,7 @@ python -m iris_tpu.pipeline.extract_emitter $COMMON_DS --output $BAKE \
 python -m iris_tpu.pipeline.initialize --experiment_name $EXP/init \
     $TRAIN_DS --voxel_path $BAKE/vslf.npz --emitter_path $BAKE/emitter.npz \
     --has_part $HAS_PART --SPP $SPP --spp $spp --crf_basis $CRF_BASIS \
-    --val_frame $VAL_FRAME $INIT_BUDGET $TRAIN_COMMON
+    --val_frame $VAL_FRAME $INIT_BUDGET $TRAIN_COMMON $RAD_ARGS
 
 # 4. write learned emitter radiance into emitter.npz
 python -m iris_tpu.pipeline.extract_emitter $COMMON_DS --output $BAKE \
@@ -94,7 +103,7 @@ python -m iris_tpu.pipeline.train_emitter --experiment_name $EXP/emitter \
     $TRAIN_DS --crf_basis $CRF_BASIS --SPP $SPP --spp $spp \
     --ckpt_path checkpoints/$EXP/brdf0/last.pkl \
     --voxel_path $BAKE/vslf_0.npz --emitter_path $BAKE/emitter.npz \
-    $EMITTER_BUDGET --batch_size $BATCH_SIZE
+    $EMITTER_BUDGET --batch_size $BATCH_SIZE $RAD_ARGS
 python -m iris_tpu.pipeline.extract_emitter $COMMON_DS --output $BAKE \
     --mode update --ckpt checkpoints/$EXP/emitter/emitter_last.pkl
 
@@ -103,7 +112,7 @@ python -m iris_tpu.pipeline.refine_shading $COMMON_DS \
     --slf_path $BAKE/vslf_0.npz --emitter_path $BAKE/emitter.npz \
     --ckpt checkpoints/$EXP/brdf0/last.pkl --output $OUT/shading_1 \
     --spp_diffuse $SPP_REFINE_DIFFUSE --spp_specular $SPP_REFINE_SPECULAR \
-    --indir_depth $INDIR_DEPTH
+    --indir_depth $INDIR_DEPTH --encode $ENCODE_REFINE
 
 python -m iris_tpu.pipeline.train_brdf_crf --experiment_name $EXP/brdf1 \
     $TRAIN_DS --has_part $HAS_PART --crf_basis $CRF_BASIS \
