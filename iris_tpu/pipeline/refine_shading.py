@@ -128,7 +128,14 @@ def main(argv=None):
     diff_jit = jax.jit(lambda p, wi, nr, uv, tri, k: path_tracing_det_diff(
         k, tracer, em, make_mat_fn(jax.random.fold_in(k, 94)), p, wi, nr,
         uv, tri, spp_d, depth))
-    spec_jits = {}
+    # roughness enters as a TRACED scalar so all 6 levels share one
+    # compiled program (a closure-baked float cost 6 full jit compiles,
+    # each minutes on the tunneled TPU)
+    spec_jit = jax.jit(lambda p, wi_, nr, uv_, tri_, k, rv:
+                       path_tracing_det_spec(
+                           k, tracer, em,
+                           make_mat_fn(jax.random.fold_in(k, 95)), rv, p,
+                           wi_, nr, uv_, tri_, spp_s, depth))
 
     first_jit = jax.jit(lambda x, d: ray_intersect(tracer, x, d))
 
@@ -151,15 +158,9 @@ def main(argv=None):
                   denoise_hdr(ld.reshape(h, w, 3), normal=nrm_hw, mask=mask_hw))
 
         for r_idx, rough in enumerate(ROUGHNESS_LEVELS):
-            if r_idx not in spec_jits:
-                rv = float(rough)
-                spec_jits[r_idx] = jax.jit(
-                    lambda p, wi_, nr, uv_, tri_, k, rv=rv:
-                    path_tracing_det_spec(
-                        k, tracer, em,
-                        make_mat_fn(jax.random.fold_in(k, 95)), rv, p, wi_,
-                        nr, uv_, tri_, spp_s, depth))
-            l0, l1 = _chunked_det(spec_jits[r_idx], np.asarray(pos), wi,
+            def spec_fn(p, wi_, nr, uv_, tri_, k, rv=float(rough)):
+                return spec_jit(p, wi_, nr, uv_, tri_, k, jnp.float32(rv))
+            l0, l1 = _chunked_det(spec_fn, np.asarray(pos), wi,
                                   np.asarray(nrm), np.asarray(uv),
                                   np.asarray(tri), chunk_s, 2,
                                   jax.random.fold_in(key, 7 + r_idx))

@@ -51,9 +51,10 @@ INDIR_DEPTH=${INDIR_DEPTH:-5}
 RADIANCE_LOG_SPACE=${RADIANCE_LOG_SPACE:-0}
 RADIANCE_LR_SCALE=${RADIANCE_LR_SCALE:-1.0}
 RAD_ARGS="--radiance_log_space $RADIANCE_LOG_SPACE --radiance_lr_scale $RADIANCE_LR_SCALE"
-# hash-grid encode estimator for the refine_shading bake: exact (8-corner,
-# reference semantics) or stoch (1-corner unbiased, ~6x cheaper encode)
-ENCODE_REFINE=${ENCODE_REFINE:-exact}
+# hash-grid encode estimator for the refine_shading bake: stoch (1-corner
+# unbiased; device A/B round-2h: 2.4x faster, deviation 10-100x below the
+# MC noise floor) or exact (8-corner reference semantics)
+ENCODE_REFINE=${ENCODE_REFINE:-stoch}
 
 CKPT=checkpoints/$EXP
 BAKE=$CKPT/bake

@@ -138,6 +138,27 @@ def test_full_pipeline(demo_root, tmp_path_factory):
     ])
     assert os.path.exists(os.path.join(out, "cache2", "diffuse", "000.exr"))
 
+    # ---- stage 9 with the stochastic-corner encode: same bake within MC
+    # noise of the exact 8-corner one (both arms spp 32 so estimator
+    # variance, not sampling noise, dominates any systematic gap)
+    from iris_tpu.utils.exr import read_exr
+    for enc, outdir in [("exact", "cache2x"), ("stoch", "cache2s")]:
+        refine_shading.main([
+            "--dataset", "synthetic", "--scene", demo_root,
+            "--slf_path", os.path.join(out, "vslf_0.npz"),
+            "--emitter_path", os.path.join(out, "emitter.npz"),
+            "--ckpt", brdf_ckpt,
+            "--output", os.path.join(out, outdir),
+            "--ldr_img_dir", "ldr",
+            "--spp_diffuse", "32", "--spp_specular", "4",
+            "--indir_depth", "2", "--encode", enc, "--max_frames", "1",
+        ])
+    d_exact = read_exr(os.path.join(out, "cache2x", "diffuse", "000.exr"))
+    d_stoch = read_exr(os.path.join(out, "cache2s", "diffuse", "000.exr"))
+    assert np.all(np.isfinite(d_stoch)) and d_stoch.min() >= 0.0
+    scale = max(float(d_exact.mean()), 1e-6)
+    assert abs(float(d_stoch.mean()) - float(d_exact.mean())) / scale < 0.15
+
     # ---- render + metrics
     from iris_tpu.pipeline import render
     render.main([
