@@ -69,8 +69,11 @@ def _camera_pose(origin, lookat):
 
 def make_dataset(root: str, img_hw=(48, 64), n_train: int = 6,
                  n_val: int = 2, spp: int = 48, indir_depth: int = 2,
-                 seed: int = 0):
-    mesh, is_em = make_box_scene(n_clutter=4, seed=seed)
+                 seed: int = 0, n_clutter: int = 4, chunk_px: int = 1 << 15):
+    """chunk_px bounds the per-launch ray count so large frames render in
+    fixed-shape pieces (a 512x384 frame at spp 48 would otherwise be one
+    9.4M-sample program)."""
+    mesh, is_em = make_box_scene(n_clutter=n_clutter, seed=seed)
     tracer = build_bvh(mesh.triangles())
     n_em = int(is_em.sum())
     slf = init_voxel_slf(np.ones((8, 8, 8), bool), -0.1, 2.1)
@@ -100,6 +103,24 @@ def make_dataset(root: str, img_hw=(48, 64), n_train: int = 6,
         ((1.7, 1.0, 0.55), (1.0, 1.0, 0.45)),
         ((1.0, 1.7, 0.5), (1.0, 1.0, 0.45)),
     ]
+    if n_train + n_val > len(cams_all):
+        # procedural orbit inside the room for larger captures; keep one
+        # emitter-facing view so radiance recovery stays observable
+        crng = np.random.default_rng(seed + 1)
+        need = n_train + n_val
+        cams_all = []
+        for i in range(need):
+            ang = 2.0 * np.pi * i / need
+            r = 0.65 + 0.2 * crng.uniform()
+            c = (1.0 + r * np.cos(ang), 1.0 + r * np.sin(ang),
+                 0.35 + 0.3 * crng.uniform())
+            if i == 1:
+                look = (1.05, 1.0, 0.98)
+            else:
+                look = (1.0 + 0.25 * crng.uniform(-1, 1),
+                        1.0 + 0.25 * crng.uniform(-1, 1),
+                        0.3 + 0.3 * crng.uniform())
+            cams_all.append((c, look))
 
     from iris_tpu.data.rays import (
         concat_rays, get_ray_directions_blender, get_rays_blender,
@@ -130,6 +151,24 @@ def make_dataset(root: str, img_hw=(48, 64), n_train: int = 6,
         a_prime = g0 * ks + g1 + kd
         return (mat["albedo"], mat["roughness"], emit, tri, valid, a_prime)
 
+    def chunked(fn, rays_np, key=None):
+        """Run a per-ray jitted fn over fixed-shape pixel chunks."""
+        n = rays_np.shape[0]
+        chunk = min(chunk_px, -(-n // 256) * 256)
+        outs = []
+        for c in range(-(-n // chunk)):
+            b0, b1 = c * chunk, min((c + 1) * chunk, n)
+            part = np.zeros((chunk, rays_np.shape[1]), np.float32)
+            part[:, 5] = 1.0                       # dz=1 dummy rays in pad
+            part[: b1 - b0] = rays_np[b0:b1]
+            a = (fn(jnp.asarray(part), jax.random.fold_in(key, c))
+                 if key is not None else fn(jnp.asarray(part)))
+            a = a if isinstance(a, tuple) else (a,)
+            outs.append([np.asarray(x)[: b1 - b0] for x in a])
+        res = tuple(np.concatenate([o[i] for o in outs], 0)
+                    for i in range(len(outs[0])))
+        return res if len(res) > 1 else res[0]
+
     splits = {"train": cams_all[:n_train],
               "val": cams_all[n_train: n_train + n_val]}
     for split, cams in splits.items():
@@ -147,16 +186,15 @@ def make_dataset(root: str, img_hw=(48, 64), n_train: int = 6,
             o, d, dxdu, dydv = get_rays_blender(directions, c2w.astype(
                 np.float32), focal)
             rays = concat_rays(o, d, dxdu, dydv)
-            hdr = np.asarray(render(jnp.asarray(rays),
-                                    jax.random.PRNGKey(100 + i)))
+            hdr = chunked(render, rays, key=jax.random.PRNGKey(100 + i))
             write_exr(os.path.join(sd, "Image", f"{i:03d}_0001.exr"),
                       hdr.reshape(h, w, 3))
             ldr = np.asarray(crf_forward(crf, jnp.asarray(hdr), 1.0))
             save_image(ldr.reshape(h, w, 3),
                        os.path.join(sd, IMG_DIR, f"{i:03d}_0001.png"))
 
-            alb, rough, emit, tri, valid, a_prime = [
-                np.asarray(x) for x in first_hit_gt(jnp.asarray(rays))]
+            alb, rough, emit, tri, valid, a_prime = chunked(first_hit_gt,
+                                                            rays)
             write_exr(os.path.join(sd, "DiffCol", f"{i:03d}_0001.exr"),
                       alb.reshape(h, w, 3))
             # GT a' for utils/metric_brdf.py (reference FIPT albedo/ layout)
@@ -187,8 +225,21 @@ def make_dataset(root: str, img_hw=(48, 64), n_train: int = 6,
 
 
 if __name__ == "__main__":
-    import sys
+    from argparse import ArgumentParser
 
-    out = sys.argv[1] if len(sys.argv) > 1 else "/tmp/iris_demo_dataset"
-    make_dataset(out)
-    print("wrote", out)
+    p = ArgumentParser()
+    p.add_argument("root", nargs="?", default="/tmp/iris_demo_dataset")
+    p.add_argument("--hw", type=int, nargs=2, default=(48, 64),
+                   help="image height width")
+    p.add_argument("--n_train", type=int, default=6)
+    p.add_argument("--n_val", type=int, default=2)
+    p.add_argument("--spp", type=int, default=48)
+    p.add_argument("--indir_depth", type=int, default=2)
+    p.add_argument("--n_clutter", type=int, default=4,
+                   help="12 faces per clutter box (2000 -> ~24K faces)")
+    p.add_argument("--seed", type=int, default=0)
+    a = p.parse_args()
+    make_dataset(a.root, img_hw=tuple(a.hw), n_train=a.n_train,
+                 n_val=a.n_val, spp=a.spp, indir_depth=a.indir_depth,
+                 seed=a.seed, n_clutter=a.n_clutter)
+    print("wrote", a.root)
