@@ -682,10 +682,25 @@ def pallas_ray_trace_ordered(tracer: Tracer, origins: jnp.ndarray,
 
 
 def vmem_bytes(tracer: Tracer) -> int:
-    return int(tracer.nodes.size + tracer.tris.size) * 4
+    """TRUE VMEM footprint of the resident kernels' BVH operands.
+
+    Mosaic stages f32 operands as T(8,128) tiles, so the narrow (N, 8)
+    node and (P, 12) triangle rows LANE-PAD to 128 — a 16x/10.7x
+    inflation over their logical bytes. Counting logical bytes let a
+    24K-face tree (2.1 MB logical, 25.7 MB staged) through the resident
+    gate and the compile died with a scoped-vmem OOM (16 MB limit)
+    inside large jit programs."""
+
+    def pad8(n: int) -> int:
+        return -(-n // 8) * 8
+
+    return (pad8(tracer.nodes.shape[0]) + pad8(tracer.tris.shape[0])) \
+        * 128 * 4
 
 
-def pallas_available(tracer: Tracer, budget: int = 12 << 20) -> bool:
+def pallas_available(tracer: Tracer, budget: int = 10 << 20) -> bool:
+    """budget leaves ~4-6 MB of the 16 MB scoped-vmem limit for the ray
+    in/out blocks of a 64K-ray chunk."""
     return vmem_bytes(tracer) <= budget
 
 
