@@ -108,18 +108,42 @@ def make_dataset(root: str, img_hw=(48, 64), n_train: int = 6,
         # emitter-facing view so radiance recovery stays observable
         crng = np.random.default_rng(seed + 1)
         need = n_train + n_val
+
+        probe_dirs = np.asarray(
+            [[1, 0, 0], [-1, 0, 0], [0, 1, 0], [0, -1, 0],
+             [0, 0, 1], [0, 0, -1]], np.float32)
+
+        def cam_ok(c, look):
+            """Reject cameras inside/against clutter (a dense procedural
+            scene produced all-black frames otherwise): any of 6 axis
+            probes hitting within 0.08, or the view ray blocked within
+            0.2, disqualifies the pose."""
+            v = np.asarray(look, np.float32) - np.asarray(c, np.float32)
+            v = v / max(float(np.linalg.norm(v)), 1e-9)
+            dirs = np.concatenate([probe_dirs, v[None]], 0)
+            o = np.broadcast_to(np.asarray(c, np.float32), dirs.shape)
+            pos, _, _, _, valid = ray_intersect(
+                tracer, jnp.asarray(o), jnp.asarray(dirs))
+            dist = np.linalg.norm(np.asarray(pos) - o, axis=-1)
+            dist = np.where(np.asarray(valid), dist, 1e9)
+            return float(dist[:6].min()) > 0.08 and float(dist[6]) > 0.2
+
         cams_all = []
         for i in range(need):
             ang = 2.0 * np.pi * i / need
-            r = 0.65 + 0.2 * crng.uniform()
-            c = (1.0 + r * np.cos(ang), 1.0 + r * np.sin(ang),
-                 0.35 + 0.3 * crng.uniform())
-            if i == 1:
-                look = (1.05, 1.0, 0.98)
-            else:
-                look = (1.0 + 0.25 * crng.uniform(-1, 1),
-                        1.0 + 0.25 * crng.uniform(-1, 1),
-                        0.3 + 0.3 * crng.uniform())
+            for _ in range(100):
+                r = 0.65 + 0.2 * crng.uniform()
+                c = (1.0 + r * np.cos(ang), 1.0 + r * np.sin(ang),
+                     0.35 + 0.3 * crng.uniform())
+                if i == 1:
+                    look = (1.05, 1.0, 0.98)
+                else:
+                    look = (1.0 + 0.25 * crng.uniform(-1, 1),
+                            1.0 + 0.25 * crng.uniform(-1, 1),
+                            0.3 + 0.3 * crng.uniform())
+                if cam_ok(c, look):
+                    break
+                ang += 0.05          # nudge along the orbit and retry
             cams_all.append((c, look))
 
     from iris_tpu.data.rays import (

@@ -60,13 +60,25 @@ def make_validation_hook(
     frozen = frozen or {}
     param_tx = param_tx or (lambda p: p)
     os.makedirs(out_dir, exist_ok=True)
-    rays = jnp.asarray(val_batch["rays"])
-    xs, ds = rays[..., :3], normalize(rays[..., 3:6])
-    dxdu, dydv = rays[..., 6:9], rays[..., 9:12]
+    rays_np = np.asarray(val_batch["rays"], np.float32)
     h, w = img_hw
 
+    # fixed-shape pixel chunks: a full-frame program at production
+    # resolutions materializes tens of GB of path state (measured 16 GB
+    # HBM at 49K px x spp 32 x 32 levels — compile OOM)
+    chunk = min(8192, -(-rays_np.shape[0] // 256) * 256)
+    n = rays_np.shape[0]
+    n_chunks = -(-n // chunk)
+    pad = n_chunks * chunk - n
+    if pad:
+        filler = np.zeros((pad, rays_np.shape[1]), np.float32)
+        filler[:, 5] = 1.0
+        rays_np = np.concatenate([rays_np, filler], 0)
+    ray_chunks = [jnp.asarray(rays_np[c * chunk:(c + 1) * chunk])
+                  for c in range(n_chunks)]
+
     @jax.jit
-    def render(params, key):
+    def render_chunk(params, key, rays_c):
         params = param_tx({**frozen, **params})
         em = em_template
         if "radiance" in params:
@@ -75,11 +87,24 @@ def make_validation_hook(
         if "crf_weight" in params:
             crf = dc_replace(crf, weight=params["crf_weight"])
         mat_fn = functools.partial(ngp_brdf_apply, params["material"])
+        xs, ds = rays_c[..., :3], normalize(rays_c[..., 3:6])
+        dxdu, dydv = rays_c[..., 6:9], rays_c[..., 9:12]
         l_train = path_tracing_single(key, tracer, em, mat_fn, xs, ds,
                                       dxdu, dydv, spp)
         l_full = path_tracing(jax.random.fold_in(key, 1), tracer, em,
                               mat_fn, xs, ds, dxdu, dydv, spp, indir_depth)
         return l_train, l_full, get_crf(crf)
+
+    def render(params, key):
+        lt, lf, crf_curves = [], [], None
+        for c, rays_c in enumerate(ray_chunks):
+            a, b, crf_curves = render_chunk(params,
+                                            jax.random.fold_in(key, c),
+                                            rays_c)
+            lt.append(np.asarray(a))
+            lf.append(np.asarray(b))
+        return (np.concatenate(lt, 0)[:n], np.concatenate(lf, 0)[:n],
+                crf_curves)
 
     def hook(step, params, loss, aux):
         if step % val_step != 0:

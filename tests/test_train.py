@@ -1,3 +1,4 @@
+import os
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -394,3 +395,33 @@ def test_chunked_training_matches_unchunked():
     w5, seen5 = run(5)
     assert [s for s, _ in seen5] == [s for s, _ in seen1]
     assert np.allclose(w1, w5, rtol=1e-5, atol=1e-7)
+
+
+def test_validation_hook_chunked_render(tmp_path):
+    """The val-frame render must run in fixed-size pixel chunks: a
+    whole-frame program at production resolution compiled to a 16 GB HBM
+    footprint (scoped OOM). A non-chunk-multiple frame exercises the pad
+    path; outputs must exist and be finite."""
+    import jax
+    from iris_tpu.demo import make_demo_scene
+    from iris_tpu.geometry.procedural import camera_rays
+    from iris_tpu.train.validation import make_validation_hook
+
+    tracer, em, ngp, crf, _ = make_demo_scene(
+        n_clutter=2, hash_levels=2, log2_table=8, slf_res=8)
+    h = w = 18                       # 324 px: not a multiple of 256
+    o, d, dxdu, dydv = camera_rays(h)
+    rays = np.concatenate([o, d, dxdu, dydv], -1).astype(np.float32)
+    vb = {"rays": rays, "rgbs": np.zeros((h * w, 3), np.float32),
+          "exposure": 1.0}
+    hook = make_validation_hook(
+        tracer, em, crf, vb, (h, w), str(tmp_path), val_step=5, spp=2,
+        indir_depth=1)
+    hook(4, {"material": ngp, "radiance": em.radiance,
+             "crf_weight": crf.weight}, 0.0, {})   # not a val step: no-op
+    assert not os.listdir(tmp_path)
+    hook(5, {"material": ngp, "radiance": em.radiance,
+             "crf_weight": crf.weight}, 0.0, {})
+    pngs = [f for f in os.listdir(tmp_path) if f.endswith(".png")]
+    assert {"00005_L_train.png", "00005_L_full.png",
+            "00005_L_gt.png"} <= set(pngs), pngs
