@@ -191,3 +191,19 @@ def test_process_images_cli(tmp_path):
     b = np.asarray(Image.open(out / "b.png"))
     assert a.shape == (30, 100, 3)       # aspect preserved, capped width
     assert np.array_equal(b, small)      # under-cap images untouched
+
+
+def test_procedural_cameras_avoid_clutter(tmp_path):
+    """>8 frames triggers the procedural orbit; with dense clutter every
+    pose must be probe-ray validated — a camera inside a box produced
+    all-black frames (round-2 scale run)."""
+    import numpy as np
+    from iris_tpu.data.make_demo_dataset import make_dataset
+    from iris_tpu.utils.image import open_png
+
+    root = str(tmp_path / "dense")
+    make_dataset(root, img_hw=(12, 16), n_train=10, n_val=0, spp=4,
+                 indir_depth=1, n_clutter=150, seed=5)
+    for i in range(10):
+        im = open_png(f"{root}/train/ldr/{i:03d}_0001.png")
+        assert im.mean() > 0.01, (i, im.mean())
