@@ -1,0 +1,42 @@
+#!/usr/bin/env bash
+# Production-scale hermetic record: generate a large procedural scene and
+# run the full 9-stage pipeline + eval render + BRDF/CRF metrics on it.
+# Defaults give ~8.4K faces (resident ordered Pallas kernel regime),
+# 256x192 x 16 train frames. N_CLUTTER=2000 exercises the HBM-streamed
+# kernel (~24K faces) instead.
+set -euo pipefail
+cd "$(dirname "$0")/.."
+
+ROOT=${ROOT:-workdir_scene_l}
+EXP=${EXP:-tpu_l}
+HW=${HW:-"192 256"}
+N_TRAIN=${N_TRAIN:-16}
+N_CLUTTER=${N_CLUTTER:-700}
+GEN_SPP=${GEN_SPP:-64}
+
+echo "SCALE gen start $(date +%H:%M:%S)"
+python -m iris_tpu.data.make_demo_dataset "$ROOT" --hw $HW \
+  --n_train "$N_TRAIN" --n_val 2 --spp "$GEN_SPP" --indir_depth 2 \
+  --n_clutter "$N_CLUTTER" --seed 3
+echo "SCALE gen done $(date +%H:%M:%S)"
+
+export DATASET=synthetic DATASET_PATH=$ROOT EXP=$EXP LDR_IMG_DIR=ldr
+export STEPS_INIT=${STEPS_INIT:-2000} STEPS_BRDF=${STEPS_BRDF:-4000} \
+       STEPS_EMITTER=${STEPS_EMITTER:-600}
+export RADIANCE_LOG_SPACE=${RADIANCE_LOG_SPACE:-1} \
+       RADIANCE_LR_SCALE=${RADIANCE_LR_SCALE:-10}
+export VOXEL_NUM=${VOXEL_NUM:-256} SPP=${SPP:-32} \
+       SPP_BAKE_DIFFUSE=${SPP_BAKE_DIFFUSE:-64} \
+       SPP_REFINE_DIFFUSE=${SPP_REFINE_DIFFUSE:-64} \
+       SPP_REFINE_SPECULAR=${SPP_REFINE_SPECULAR:-32} \
+       INDIR_DEPTH=${INDIR_DEPTH:-3}
+bash scripts/run_pipeline.sh
+echo "SCALE trained $(date +%H:%M:%S)"
+
+SPLIT=train SPP=64 spp=16 bash scripts/render.sh
+echo "SCALE rendered $(date +%H:%M:%S)"
+python -m iris_tpu.utils.metric_brdf --gt "$ROOT/train" \
+  --method "outputs/$EXP/render/train"
+python -m iris_tpu.utils.metric_crf --crf_gt "$ROOT/train/ldr/cam/crf.npy" \
+  --ckpt "checkpoints/$EXP/brdf1/last.pkl"
+echo SCALE_DONE
