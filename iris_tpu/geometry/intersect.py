@@ -388,7 +388,7 @@ def _pallas_mode(tracer: Tracer, n_rays: int) -> str | None:
         return None
     try:
         from iris_tpu.geometry.pallas_intersect import (
-            pallas_available, pallas_streamable)
+            paired_available, pallas_available, pallas_streamable)
 
         import jax as _jax
 
@@ -397,6 +397,14 @@ def _pallas_mode(tracer: Tracer, n_rays: int) -> str | None:
             return None       # CPU-pinned runs (tests) keep the XLA path
         if _jax.default_backend() == "cpu":
             return None
+        paired_pref = os.environ.get("IRIS_TPU_PAIRED", "auto")
+        if paired_pref != "0" and paired_available(tracer):
+            # the packed sibling-pair layout stages ~3x less VMEM, so it
+            # covers trees the (N,8)/(P,12) resident gate rejects; where
+            # BOTH fit, keep the device-measured ordered kernel unless
+            # IRIS_TPU_PAIRED=1 (flip pending an on-device A/B)
+            if paired_pref == "1" or not pallas_available(tracer):
+                return "paired"
         if pallas_available(tracer):
             return "resident"
         if pallas_streamable(tracer):
@@ -432,10 +440,13 @@ def ray_intersect(tracer: Tracer, xs: jnp.ndarray, ds: jnp.ndarray,
     if mode and tile:
         from iris_tpu.geometry.pallas_intersect import (
             pallas_ray_trace, pallas_ray_trace_ordered,
-            pallas_ray_trace_streamed)
+            pallas_ray_trace_paired, pallas_ray_trace_streamed)
 
         if mode == "streamed":
             t, u, v, face, valid = pallas_ray_trace_streamed(
+                tracer, xs_t, ds_t, tile=8192)
+        elif mode == "paired":
+            t, u, v, face, valid = pallas_ray_trace_paired(
                 tracer, xs_t, ds_t, tile=8192)
         elif tracer.n_faces >= 5000 and tracer.layout == "preorder":
             # big resident trees: the near-first pruned kernel wins
