@@ -22,6 +22,38 @@ from iris_tpu.core.vecmath import normalize
 from iris_tpu.models.slf import VoxelSLF, slf_query
 
 
+@jax.custom_vjp
+def _radiance_rows(radiance: jnp.ndarray, e_idx: jnp.ndarray) -> jnp.ndarray:
+    """radiance[e_idx] with an MXU backward.
+
+    The autodiff adjoint of a row gather is a (B,3)->(K,3) scatter-add —
+    latency-bound at ~8.5 ns/element on this backend (~6.7 ms/step of the
+    flagship budget across the 3 eval_emitter calls, PERF.md round-2e).
+    K (emitter triangles) is small, so the adjoint is computed instead as
+    onehot(e_idx)^T @ g — a skinny matmul the MXU does in ~0.3 ms of pure
+    HBM traffic. Falls back to the explicit .at[].add scatter for large K
+    where the (B, K) one-hot would dominate traffic."""
+    return radiance[e_idx]
+
+
+def _radiance_rows_fwd(radiance, e_idx):
+    return radiance[e_idx], (e_idx, radiance.shape[0])
+
+
+def _radiance_rows_bwd(res, g):
+    e_idx, k = res
+    if k <= 256:
+        onehot = (e_idx[:, None] == jnp.arange(k)).astype(g.dtype)
+        g_rad = jnp.einsum("bk,bc->kc", onehot, g,
+                           preferred_element_type=jnp.float32)
+    else:
+        g_rad = jnp.zeros((k, g.shape[-1]), g.dtype).at[e_idx].add(g)
+    return g_rad, jnp.zeros(e_idx.shape, jax.dtypes.float0)
+
+
+_radiance_rows.defvjp(_radiance_rows_fwd, _radiance_rows_bwd)
+
+
 @jax.tree_util.register_dataclass
 @dataclass
 class Emitter:
@@ -102,7 +134,7 @@ def eval_emitter(
 
     pdf_over_area = em.emitter_pdf / jnp.maximum(em.emitter_area, 1e-12)
     emit_pdf = jnp.where(is_area, pdf_over_area[e_idx], 0.0)
-    le = jnp.where(is_area[:, None], em.radiance[e_idx], 0.0)
+    le = jnp.where(is_area[:, None], _radiance_rows(em.radiance, e_idx), 0.0)
     le = le * vis[:, None]
     valid_next = (~is_area) & vis
 

@@ -193,6 +193,21 @@ def test_emitter_eval_and_sample():
                           np.round(expect, 3)))
 
 
+def test_radiance_rows_grad_matches_plain_gather():
+    """_radiance_rows' one-hot-matmul backward (and its large-K scatter
+    fallback) must equal the autodiff adjoint of plain row indexing."""
+    key = jax.random.PRNGKey(7)
+    for k, b in ((5, 301), (300, 128)):     # matmul branch / scatter branch
+        rad = jax.random.normal(key, (k, 3))
+        idx = jax.random.randint(jax.random.PRNGKey(k), (b,), 0, k)
+        w = jax.random.normal(jax.random.PRNGKey(b), (b, 3))
+
+        g_fast = jax.grad(lambda r: jnp.sum(E._radiance_rows(r, idx) * w))(rad)
+        g_ref = jax.grad(lambda r: jnp.sum(r[idx] * w))(rad)
+        assert np.allclose(np.asarray(g_fast), np.asarray(g_ref),
+                           atol=1e-5), (k, b)
+
+
 def test_emitter_slf_cache_termination():
     mesh, is_em = make_box_scene()
     mask = np.ones((4, 4, 4), bool)
