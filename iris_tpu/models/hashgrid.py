@@ -76,6 +76,17 @@ class HashGridConfig:
     # Cuts the per-step gather count AND all corner index math by
     # n_levels/fwd_level_sample. Requires stochastic_fwd; 0 = all levels.
     fwd_level_sample: int = field(default=0, metadata=dict(static=True))
+    # ROW-GATHER mode (wide-feature levels): the table is laid out
+    # feature-MINOR — element (level, entry, feature) at flat index
+    # (level*T + entry)*F + feature — and each corner costs ONE (1, F) row
+    # gather instead of F scalar (or F/2 packed) gathers. Row width is
+    # nearly free on this backend (row-8 gather 9.1 ns vs scalar 11 ns,
+    # PERF.md round-2e), so an equal-capacity config trades levels for
+    # features (e.g. 8 levels x 8 features x 2^19 = same params and same
+    # 64-wide MLP input as the reference 32x2) at ~1/4 the table accesses.
+    # NOT the reference parameterization — opt-in, quality-gated like
+    # fwd_level_sample. packed_gather is ignored in row mode.
+    row_gather: bool = field(default=False, metadata=dict(static=True))
 
     @property
     def table_size(self) -> int:
@@ -305,6 +316,102 @@ def _stoch_lookup_bwd(n_features, block, packed, levels, bwd_k, res, g):
 _stoch_lookup_p.defvjp(_stoch_lookup_fwd, _stoch_lookup_bwd)
 
 
+# ---------------------------------------------------------- row-mode lookups
+# (HashGridConfig.row_gather: feature-minor (L*T, F) rows, one gather/corner)
+
+def _row_scatter_chosen(g_rows, chosen_idx, phase, lt, levels, bwd_k):
+    """(M, F) cotangent -> (L*T, F) table cotangent via ONE row scatter per
+    query at the sampled corner row (row-8 scatter 20.4 ns/row vs F x 10.7
+    ns scalar, PERF.md round-2e). Same strided level-block subsampling as
+    _scatter_chosen: flat m = q*levels + lvl, lvl = j*stride + phase."""
+    f = g_rows.shape[1]
+    if bwd_k and levels and bwd_k < levels:
+        stride = levels // bwd_k
+        b = chosen_idx.shape[0] // levels
+        scale = jnp.asarray(stride, g_rows.dtype)
+        idx3 = chosen_idx.reshape(b, bwd_k, stride)
+        chosen_idx = jax.lax.squeeze(
+            jax.lax.dynamic_slice_in_dim(idx3, phase, 1, axis=2),
+            (2,)).reshape(b * bwd_k)
+        g4 = g_rows.reshape(b, bwd_k, stride, f)
+        g_rows = jax.lax.squeeze(
+            jax.lax.dynamic_slice_in_dim(g4, phase, 1, axis=2),
+            (2,)).reshape(b * bwd_k, f) * scale
+    return jnp.zeros((lt, f), g_rows.dtype).at[chosen_idx].add(g_rows)
+
+
+def _row_lookup_impl(rows, idxs, weights):
+    acc = jnp.zeros((idxs.shape[1], rows.shape[1]), rows.dtype)
+    for k in range(idxs.shape[0]):
+        acc = acc + rows[idxs[k]] * weights[k][:, None]
+    return acc
+
+
+@jax.custom_vjp
+def _row_weighted_p(rows, idxs, weights):
+    return _row_lookup_impl(rows, idxs, weights)
+
+
+def _row_weighted_fwd(rows, idxs, weights):
+    return _row_lookup_impl(rows, idxs, weights), (idxs, weights,
+                                                   rows.shape[0])
+
+
+def _row_weighted_bwd(res, g):
+    idxs, weights, lt = res
+    acc = jnp.zeros((lt, g.shape[1]), g.dtype)
+    for k in range(idxs.shape[0]):
+        acc = acc.at[idxs[k]].add(g * weights[k][:, None])
+    return (acc, jnp.zeros(idxs.shape, jax.dtypes.float0),
+            jnp.zeros(weights.shape, weights.dtype))
+
+
+_row_weighted_p.defvjp(_row_weighted_fwd, _row_weighted_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
+def _row_stoch_bwd_p(rows, idxs, weights, chosen_idx, phase, levels, bwd_k):
+    return _row_lookup_impl(rows, idxs, weights)
+
+
+def _row_stoch_bwd_fwd(rows, idxs, weights, chosen_idx, phase, levels,
+                       bwd_k):
+    out = _row_lookup_impl(rows, idxs, weights)
+    return out, (chosen_idx, phase, rows.shape[0], idxs.shape,
+                 weights.shape)
+
+
+def _row_stoch_bwd_bwd(levels, bwd_k, res, g):
+    chosen_idx, phase, lt, ishape, wshape = res
+    return (_row_scatter_chosen(g, chosen_idx, phase, lt, levels, bwd_k),
+            jnp.zeros(ishape, jax.dtypes.float0),
+            jnp.zeros(wshape, jnp.float32),
+            jnp.zeros(chosen_idx.shape, jax.dtypes.float0),
+            jnp.zeros(phase.shape, jax.dtypes.float0))
+
+
+_row_stoch_bwd_p.defvjp(_row_stoch_bwd_fwd, _row_stoch_bwd_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def _row_stoch_p(rows, chosen_idx, phase, levels, bwd_k):
+    return rows[chosen_idx]
+
+
+def _row_stoch_fwd(rows, chosen_idx, phase, levels, bwd_k):
+    return rows[chosen_idx], (chosen_idx, phase, rows.shape[0])
+
+
+def _row_stoch_bwd2(levels, bwd_k, res, g):
+    chosen_idx, phase, lt = res
+    return (_row_scatter_chosen(g, chosen_idx, phase, lt, levels, bwd_k),
+            jnp.zeros(chosen_idx.shape, jax.dtypes.float0),
+            jnp.zeros(phase.shape, jax.dtypes.float0))
+
+
+_row_stoch_p.defvjp(_row_stoch_fwd, _row_stoch_bwd2)
+
+
 def hashgrid_encode(
     table: jnp.ndarray, cfg: HashGridConfig, x: jnp.ndarray,
     key: jax.Array | None = None,
@@ -411,12 +518,19 @@ def hashgrid_encode(
             cell[2] + bits[2].astype(jnp.uint32),
         )
 
+    rows = (table.reshape(cfg.n_levels * cfg.table_size, cfg.n_features)
+            if cfg.row_gather else None)
+
     if stoch and cfg.stochastic_fwd:
         # 1 gather + (in bwd) 1 scatter per feature, both at the sampled
         # corner — the full 8-corner index/weight arrays are never built.
         chosen_idx = jax.lax.optimization_barrier(chosen_idx)
-        feats = _stoch_lookup_p(table, chosen_idx, phase, cfg.n_features,
-                                blk, packed, l_eff, bwd_k)
+        if cfg.row_gather:
+            fr = _row_stoch_p(rows, chosen_idx, phase, l_eff, bwd_k)
+        else:
+            feats = _stoch_lookup_p(table, chosen_idx, phase,
+                                    cfg.n_features, blk, packed, l_eff,
+                                    bwd_k)
     else:
         idxs = []
         weights = []
@@ -436,7 +550,14 @@ def hashgrid_encode(
         # gathers turns them into a serial fused loop (~5000x slower on TPU,
         # see PERF.md). Materialize indices/weights first.
         idxs, weights = jax.lax.optimization_barrier((idxs, weights))
-        if stoch and cfg.stochastic_bwd:
+        if cfg.row_gather:
+            if stoch and cfg.stochastic_bwd:
+                chosen_idx = jax.lax.optimization_barrier(chosen_idx)
+                fr = _row_stoch_bwd_p(rows, idxs, weights, chosen_idx,
+                                      phase, l_eff, bwd_k)
+            else:
+                fr = _row_weighted_p(rows, idxs, weights)
+        elif stoch and cfg.stochastic_bwd:
             chosen_idx = jax.lax.optimization_barrier(chosen_idx)
             feats = _lookup_stoch_bwd_p(table, idxs, weights, chosen_idx,
                                         phase, cfg.n_features, blk, packed,
@@ -446,6 +567,18 @@ def hashgrid_encode(
         else:
             feats = weighted_lookup(table, idxs, weights, cfg.n_features,
                                     blk)
+    if cfg.row_gather:
+        # (M, F) row-major IS (B, L*F) after a free reshape (level-major,
+        # feature-minor per level — a fixed permutation of the non-row
+        # output, absorbed by the learned first MLP layer).
+        fdim = cfg.n_features
+        if fwd_k:
+            fscale = jnp.asarray(l // fwd_k, fr.dtype)
+            z = jnp.zeros((b, fwd_k, l // fwd_k, fdim), fr.dtype)
+            z = jax.lax.dynamic_update_slice_in_dim(
+                z, (fr * fscale).reshape(b, fwd_k, 1, fdim), fphase, axis=2)
+            return z.reshape(b, l * fdim)
+        return fr.reshape(b, l_eff * fdim)
     # (F, B*L) -> (B, F*L); feature order is a fixed permutation absorbed
     # by the learned first MLP layer, so no 3-D transpose is needed.
     if fwd_k:

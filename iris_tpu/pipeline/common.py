@@ -98,8 +98,18 @@ def _estimator_fields(args, n_levels: int) -> dict:
 
 
 def build_material(args, voxel_min, voxel_max, key=None) -> NGPBRDF:
+    feats = int(getattr(args, "hash_features", 2))
+    row = int(getattr(args, "hash_row_gather", -1))
+    row = (feats > 2) if row < 0 else bool(row)
+    pls = float(getattr(args, "per_level_scale", -1.0))
+    if pls <= 0:
+        # span the reference 32-level range (16 .. 16*1.3^31) at any L
+        pls = 1.3 ** (31.0 / max(args.hash_levels - 1, 1))
     cfg = HashGridConfig(n_levels=args.hash_levels,
+                         n_features=feats,
                          log2_table_size=args.log2_hashmap_size,
+                         per_level_scale=pls,
+                         row_gather=row,
                          **_estimator_fields(args, args.hash_levels))
     key = key if key is not None else jax.random.PRNGKey(0)
     return init_ngp_brdf(key, voxel_min, voxel_max, cfg)

@@ -47,6 +47,16 @@ default_options = {
     "n_devices": {"type": int, "default": None},
     "hash_levels": {"type": int, "default": 32},
     "log2_hashmap_size": {"type": int, "default": 19},
+    # wide-feature levels (models/hashgrid.py row_gather): trade levels for
+    # features at the SAME parameter count and MLP width — e.g.
+    # --hash_levels 8 --hash_features 8 keeps 64 features / 2^19*64 params
+    # but costs 1/4 the latency-bound table accesses per query (row
+    # gathers are ~free-width on this backend, PERF.md round-2e). -1 =
+    # auto (row mode on when hash_features > 2). per_level_scale -1 = auto:
+    # span the reference 32-level resolution range at any level count.
+    "hash_features": {"type": int, "default": 2},
+    "hash_row_gather": {"type": int, "default": -1},
+    "per_level_scale": {"type": float, "default": -1.0},
     # hash-grid gradient/forward estimators for TRAINING (see
     # models/hashgrid.py): stochastic_bwd is unbiased with exact forward;
     # stochastic_fwd also single-corner-samples the encode forward (8x

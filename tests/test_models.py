@@ -307,6 +307,83 @@ def test_hashgrid_packed_matches_full_within_bf16():
     assert np.allclose(g1, g2, atol=1e-5)
 
 
+def test_hashgrid_row_mode_matches_flat():
+    """row_gather=True (feature-minor rows, one gather per corner) is a
+    re-layout of the same model: with the table permuted feature-major ->
+    feature-minor, encode outputs and gradients match the flat path up to
+    the documented column permutation (full (B, F*L) col j*L+l ==
+    row (B, L*F) col l*F+j)."""
+    from dataclasses import replace
+
+    L, F, T = 3, 4, 1 << 8
+    cfg_flat = HashGridConfig(n_levels=L, n_features=F, log2_table_size=8,
+                              base_resolution=4, per_level_scale=1.5,
+                              packed_gather=False)
+    cfg_row = replace(cfg_flat, row_gather=True)
+    table_f = init_hashgrid(jax.random.PRNGKey(0), cfg_flat) * 1e4
+    # feature-major [j, l*T+t] -> feature-minor [(l*T+t), j]
+    table_r = jnp.asarray(np.asarray(table_f).reshape(F, L * T).T.reshape(-1))
+    x = jax.random.uniform(jax.random.PRNGKey(1), (64, 3))
+
+    full = np.asarray(hashgrid_encode(table_f, cfg_flat, x))
+    row = np.asarray(hashgrid_encode(table_r, cfg_row, x))
+    perm = np.asarray([l * F + j for j in range(F) for l in range(L)])
+    assert np.allclose(full, row[:, perm], atol=1e-4)
+
+    # gradients: same permutation on the cotangent, inverse re-layout on
+    # the table cotangent
+    co = jax.random.normal(jax.random.PRNGKey(2), (64, L * F))
+    g_f = jax.grad(lambda t: jnp.sum(
+        hashgrid_encode(t, cfg_flat, x) * co))(table_f)
+    g_r = jax.grad(lambda t: jnp.sum(
+        hashgrid_encode(t, cfg_row, x)[:, perm] * co))(table_r)
+    g_r_as_flat = np.asarray(g_r).reshape(L * T, F).T.reshape(-1)
+    assert np.allclose(np.asarray(g_f), g_r_as_flat, atol=1e-4)
+
+
+def test_hashgrid_row_mode_stochastic_unbiased():
+    """Row-mode stochastic-corner fwd/bwd and level-block-subsampled bwd
+    are unbiased, and a single bwd_level_sample draw touches only the
+    sampled level rows."""
+    from dataclasses import replace
+
+    L, F, T = 4, 4, 1 << 8
+    cfg0 = HashGridConfig(n_levels=L, n_features=F, log2_table_size=8,
+                          base_resolution=4, per_level_scale=1.5,
+                          packed_gather=False, row_gather=True)
+    cfg_exact = replace(cfg0, stochastic_bwd=False)
+    table = init_hashgrid(jax.random.PRNGKey(0), cfg0) * 1e4
+    x = jax.random.uniform(jax.random.PRNGKey(1), (32, 3))
+    co = jax.random.normal(jax.random.PRNGKey(2), (32, L * F))
+
+    def loss(t, k, c):
+        return jnp.sum(hashgrid_encode(t, c, x, k) * co)
+
+    g_exact = jax.grad(loss)(table, None, cfg_exact)
+    scale = jnp.abs(g_exact).max()
+    keys = jax.random.split(jax.random.PRNGKey(3), 512)
+    for cfg in (cfg0,                                   # stoch bwd
+                replace(cfg0, stochastic_fwd=True),     # stoch fwd+bwd
+                replace(cfg0, bwd_level_sample=2)):     # + level subsample
+        gs = jax.jit(jax.vmap(lambda k: jax.grad(loss)(table, k, cfg)))(keys)
+        err = jnp.abs(jnp.mean(gs, 0) - g_exact).max() / scale
+        assert err < 0.15, (cfg.stochastic_fwd, cfg.bwd_level_sample,
+                            float(err))
+
+    # stochastic fwd encode unbiased
+    f_exact = hashgrid_encode(table, replace(cfg0, stochastic_bwd=False), x)
+    cfg_sf = replace(cfg0, stochastic_fwd=True)
+    fs = jax.jit(jax.vmap(lambda k: hashgrid_encode(table, cfg_sf, x, k)))(
+        keys)
+    assert jnp.abs(jnp.mean(fs, 0) - f_exact).max() \
+        < 0.12 * jnp.abs(f_exact).max() + 0.05
+
+    # single bwd_level_sample draw: only 2 of 4 level row-blocks nonzero
+    g1 = jax.grad(loss)(table, keys[0], replace(cfg0, bwd_level_sample=2))
+    per_level = np.abs(np.asarray(g1)).reshape(L, T * F).sum(-1)
+    assert (per_level > 0).sum() <= 2, per_level
+
+
 def test_hashgrid_stochastic_bwd_unbiased():
     """E over corner keys of the stochastic-corner backward == exact grad.
 
