@@ -397,14 +397,31 @@ def _pallas_mode(tracer: Tracer, n_rays: int) -> str | None:
             return None       # CPU-pinned runs (tests) keep the XLA path
         if _jax.default_backend() == "cpu":
             return None
+        from iris_tpu.geometry.pallas_intersect import dense_available
+
+        dense_pref = os.environ.get("IRIS_TPU_DENSE", "auto")
         paired_pref = os.environ.get("IRIS_TPU_PAIRED", "auto")
+        if dense_pref == "1" and dense_available(tracer):
+            return "dense"              # explicit A/B escape hatch
         if paired_pref != "0" and paired_available(tracer):
-            # the packed sibling-pair layout stages ~3x less VMEM, so it
-            # covers trees the (N,8)/(P,12) resident gate rejects; where
-            # BOTH fit, keep the device-measured ordered kernel unless
-            # IRIS_TPU_PAIRED=1 (flip pending an on-device A/B)
-            if paired_pref == "1" or not pallas_available(tracer):
+            # Device A/B (PERF.md round-3a): the packed sibling-pair kernel
+            # beats ordered 1.3-1.5x on >=5K-face trees (1 dynamic VMEM
+            # read per visited pair vs 3 per node) and its ~3x smaller
+            # staged layout covers trees the (N,8)/(P,12) resident gate
+            # rejects. Small trees keep the plain union kernel (cheap full
+            # sweep, 1 slab/step) unless forced with IRIS_TPU_PAIRED=1.
+            if (paired_pref == "1" or tracer.n_faces >= 5000
+                    or not pallas_available(tracer)):
                 return "paired"
+        if dense_pref != "0" and dense_available(tracer):
+            # the lane-dense layout (PAIR_PACK pairs + LEAF_PACK leaves per
+            # 128-lane row) stages ~10x less VMEM than (N,8)/(P,12) and
+            # ~3x less than paired, so ~100K-face scenes stay VMEM-resident
+            # where even the paired gate rejects them (device-measured
+            # 1.15x coherent / 13x incoherent over streamed at 24K faces,
+            # PERF.md round-3b)
+            if not paired_available(tracer):
+                return "dense"
         if pallas_available(tracer):
             return "resident"
         if pallas_streamable(tracer):
@@ -439,11 +456,15 @@ def ray_intersect(tracer: Tracer, xs: jnp.ndarray, ds: jnp.ndarray,
         xs_t, ds_t = xs, ds
     if mode and tile:
         from iris_tpu.geometry.pallas_intersect import (
-            pallas_ray_trace, pallas_ray_trace_ordered,
-            pallas_ray_trace_paired, pallas_ray_trace_streamed)
+            pallas_ray_trace, pallas_ray_trace_dense,
+            pallas_ray_trace_ordered, pallas_ray_trace_paired,
+            pallas_ray_trace_streamed)
 
         if mode == "streamed":
             t, u, v, face, valid = pallas_ray_trace_streamed(
+                tracer, xs_t, ds_t, tile=8192)
+        elif mode == "dense":
+            t, u, v, face, valid = pallas_ray_trace_dense(
                 tracer, xs_t, ds_t, tile=8192)
         elif mode == "paired":
             t, u, v, face, valid = pallas_ray_trace_paired(

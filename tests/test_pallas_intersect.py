@@ -172,3 +172,55 @@ def test_pallas_ordered_matches_brute_interpret():
     assert np.allclose(p1[pv], np.asarray(p2)[pv], atol=1e-3)
     same = (np.asarray(face) == np.asarray(i2))[pv]
     assert same.mean() > 0.99
+
+
+def test_pallas_dense_matches_brute_interpret():
+    """Lane-dense kernel (8 pairs + 2 leaves per 128-lane row, dynamic
+    slot selection) vs brute force."""
+    import pytest
+
+    from iris_tpu.geometry.pallas_intersect import (pallas_ray_trace_dense,
+                                                    pallas_streamable)
+
+    mesh, _ = make_box_scene(n_clutter=12, seed=8)
+    tris = mesh.triangles()
+    tracer = build_bvh(tris)
+    if not pallas_streamable(tracer):
+        pytest.skip("native SAH builder unavailable (heap layout)")
+    o, d = random_rays(512, seed=16)
+    t, u, v, face, valid = pallas_ray_trace_dense(
+        tracer, jnp.asarray(o), jnp.asarray(d), tile=128, interpret=True,
+        stack_depth=32)
+    p2, _, _, i2, v2 = ray_intersect_brute(jnp.asarray(tris),
+                                           jnp.asarray(o), jnp.asarray(d))
+    assert np.array_equal(np.asarray(valid), np.asarray(v2))
+    pv = np.asarray(valid)
+    p1 = np.asarray(o) + np.asarray(t)[:, None] * np.asarray(d)
+    assert np.allclose(p1[pv], np.asarray(p2)[pv], atol=1e-3)
+    same = (np.asarray(face) == np.asarray(i2))[pv]
+    assert same.mean() > 0.99
+
+
+def test_pallas_dense_matches_ordered_interpret():
+    """Dense and ordered kernels agree on a scene with partial leaves
+    (fid=-1 pad rows), an ODD pair/leaf count (exercises the slot-pad
+    tails), and chunked super-calls; the dense VMEM gate is ~10x looser
+    than the row-per-node one."""
+    import pytest
+
+    from iris_tpu.geometry.pallas_intersect import (
+        dense_vmem_bytes, pallas_ray_trace_dense, pallas_ray_trace_ordered,
+        pallas_streamable, vmem_bytes)
+
+    mesh, _ = make_box_scene(n_clutter=23, seed=9)
+    tracer = build_bvh(mesh.triangles())
+    if not pallas_streamable(tracer):
+        pytest.skip("native SAH builder unavailable (heap layout)")
+    assert dense_vmem_bytes(tracer) * 6 < vmem_bytes(tracer)
+    o, d = random_rays(700, seed=17)
+    o, d = jnp.asarray(o), jnp.asarray(d)
+    a = pallas_ray_trace_ordered(tracer, o, d, tile=128, interpret=True)
+    b = pallas_ray_trace_dense(tracer, o, d, tile=128, interpret=True,
+                               max_rays_per_call=256)
+    for x, y in zip(a, b):
+        assert np.allclose(np.asarray(x), np.asarray(y), atol=1e-5)
