@@ -42,8 +42,16 @@ IMG_DIR = "ldr"
 GT_RADIANCE = 10.0
 
 
-def gt_mat_fn(position):
-    """Smooth spatially-varying GT BRDF (known closed form for eval)."""
+def gt_mat_fn(position, metallic_amp: float = 0.0):
+    """Smooth spatially-varying GT BRDF (known closed form for eval).
+
+    metallic_amp > 0 adds a smooth metallic, low-roughness blob: at the
+    default amp=0 the scene is ks=0.04 dielectric everywhere, so the
+    specular lobe is ~invisible and roughness is unidentifiable (it
+    saturates during training, PERF.md round-2i). The blob gives the
+    scale record a region where roughness/metallic recovery is actually
+    observable, while keeping the closed form exact for eval.
+    """
     p = jnp.clip(position / 2.0, 0.0, 1.0)
     albedo = jnp.stack([
         0.2 + 0.6 * p[..., 0],
@@ -52,6 +60,11 @@ def gt_mat_fn(position):
     ], -1)
     roughness = (0.4 + 0.5 * p[..., 2:3])
     metallic = jnp.zeros_like(roughness)
+    if metallic_amp:
+        gate = jnp.exp(-18.0 * ((p[..., 0:1] - 0.4) ** 2
+                                + (p[..., 1:2] - 0.55) ** 2))
+        metallic = metallic_amp * gate
+        roughness = jnp.clip(roughness - 0.55 * gate, 0.08, 1.0)
     return {"albedo": albedo, "roughness": roughness, "metallic": metallic}
 
 
@@ -69,10 +82,15 @@ def _camera_pose(origin, lookat):
 
 def make_dataset(root: str, img_hw=(48, 64), n_train: int = 6,
                  n_val: int = 2, spp: int = 48, indir_depth: int = 2,
-                 seed: int = 0, n_clutter: int = 4, chunk_px: int = 1 << 15):
+                 seed: int = 0, n_clutter: int = 4, chunk_px: int = 1 << 15,
+                 metallic_amp: float = 0.0):
     """chunk_px bounds the per-launch ray count so large frames render in
     fixed-shape pieces (a 512x384 frame at spp 48 would otherwise be one
     9.4M-sample program)."""
+
+    def mat_fn(pp):
+        return gt_mat_fn(pp, metallic_amp)
+
     mesh, is_em = make_box_scene(n_clutter=n_clutter, seed=seed)
     tracer = build_bvh(mesh.triangles())
     n_em = int(is_em.sum())
@@ -154,7 +172,7 @@ def make_dataset(root: str, img_hw=(48, 64), n_train: int = 6,
     def render(rays, key):
         o = rays[..., :3]
         d = rays[..., 3:6]
-        return path_tracing(key, tracer, em, gt_mat_fn, o, d,
+        return path_tracing(key, tracer, em, mat_fn, o, d,
                             rays[..., 6:9], rays[..., 9:12], spp,
                             indir_depth)
 
@@ -162,7 +180,7 @@ def make_dataset(root: str, img_hw=(48, 64), n_train: int = 6,
     def first_hit_gt(rays):
         o, d = rays[..., :3], rays[..., 3:6]
         pos, nrm, _, tri, valid = ray_intersect(tracer, o, d)
-        mat = gt_mat_fn(pos)
+        mat = mat_fn(pos)
         from iris_tpu.models import brdf as B
         from iris_tpu.models.emitter import eval_emitter
         emit = eval_emitter(em, pos, d, tri)[0]
@@ -262,8 +280,12 @@ if __name__ == "__main__":
     p.add_argument("--n_clutter", type=int, default=4,
                    help="12 faces per clutter box (2000 -> ~24K faces)")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--metallic_amp", type=float, default=0.0,
+                   help="amplitude of the metallic low-roughness blob "
+                        "(0 = legacy all-dielectric scene)")
     a = p.parse_args()
     make_dataset(a.root, img_hw=tuple(a.hw), n_train=a.n_train,
                  n_val=a.n_val, spp=a.spp, indir_depth=a.indir_depth,
-                 seed=a.seed, n_clutter=a.n_clutter)
+                 seed=a.seed, n_clutter=a.n_clutter,
+                 metallic_amp=a.metallic_amp)
     print("wrote", a.root)

@@ -13,11 +13,14 @@ HW=${HW:-"192 256"}
 N_TRAIN=${N_TRAIN:-16}
 N_CLUTTER=${N_CLUTTER:-700}
 GEN_SPP=${GEN_SPP:-64}
+# metallic low-roughness blob: makes roughness/metallic recovery scoreable
+# on this record (the all-dielectric scene saturates roughness, PERF 2i/3c)
+METALLIC_AMP=${METALLIC_AMP:-0.8}
 
 echo "SCALE gen start $(date +%H:%M:%S)"
 python -m iris_tpu.data.make_demo_dataset "$ROOT" --hw $HW \
   --n_train "$N_TRAIN" --n_val 2 --spp "$GEN_SPP" --indir_depth 2 \
-  --n_clutter "$N_CLUTTER" --seed 3
+  --n_clutter "$N_CLUTTER" --seed 3 --metallic_amp "$METALLIC_AMP"
 echo "SCALE gen done $(date +%H:%M:%S)"
 
 export DATASET=synthetic DATASET_PATH=$ROOT EXP=$EXP LDR_IMG_DIR=ldr

@@ -207,3 +207,26 @@ def test_procedural_cameras_avoid_clutter(tmp_path):
     for i in range(10):
         im = open_png(f"{root}/train/ldr/{i:03d}_0001.png")
         assert im.mean() > 0.01, (i, im.mean())
+
+
+def test_gt_mat_metallic_blob():
+    """metallic_amp=0 (default) keeps the legacy all-dielectric scene;
+    amp>0 adds a bounded metallic/low-roughness blob (closed form used by
+    the scale record to make roughness recovery scoreable)."""
+    from iris_tpu.data.make_demo_dataset import gt_mat_fn
+
+    pos = jnp.asarray(np.random.default_rng(0).uniform(
+        0.0, 2.0, (256, 3)).astype(np.float32))
+    base = gt_mat_fn(pos)
+    assert float(jnp.abs(base["metallic"]).max()) == 0.0
+    amp = gt_mat_fn(pos, metallic_amp=0.8)
+    m = np.asarray(amp["metallic"])
+    r = np.asarray(amp["roughness"])
+    assert 0.7 < m.max() <= 0.8 and m.min() >= 0.0
+    assert r.min() >= 0.08 - 1e-6 and r.max() <= 1.0
+    # blob is local: far corner stays dielectric with the legacy roughness
+    far = gt_mat_fn(jnp.asarray([[2.0, 2.0, 2.0]]), metallic_amp=0.8)
+    assert float(far["metallic"][0, 0]) < 0.01
+    assert abs(float(far["roughness"][0, 0]) - 0.9) < 0.01
+    # albedo unchanged by the flag
+    assert np.allclose(np.asarray(base["albedo"]), np.asarray(amp["albedo"]))
