@@ -8,13 +8,17 @@ MARKER=/root/repo/probes/TPU_OK
 rm -f "$MARKER"
 while true; do
   echo "=== probe attempt $(date -u +%H:%M:%S) ===" >> "$LOG"
-  timeout 1800 python3 -c "
+  # check ONLY the current attempt's output: the log accumulates across
+  # sessions, so grepping the whole file would see a PAST success and
+  # report recovery instantly during a real outage
+  ATTEMPT=$(timeout 1800 python3 -c "
 import jax
 print(jax.devices(), flush=True)
 print('PROBE_OK', flush=True)
 import os; os._exit(0)
-" >> "$LOG" 2>&1
-  if grep -q PROBE_OK "$LOG"; then
+" 2>&1)
+  printf '%s\n' "$ATTEMPT" >> "$LOG"
+  if printf '%s' "$ATTEMPT" | grep -q PROBE_OK; then
     date -u > "$MARKER"
     echo "RECOVERED $(date -u)" >> "$LOG"
     exit 0
