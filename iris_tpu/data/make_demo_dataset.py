@@ -64,7 +64,10 @@ def gt_mat_fn(position, metallic_amp: float = 0.0):
         gate = jnp.exp(-18.0 * ((p[..., 0:1] - 0.4) ** 2
                                 + (p[..., 1:2] - 0.55) ** 2))
         metallic = metallic_amp * gate
-        roughness = jnp.clip(roughness - 0.55 * gate, 0.08, 1.0)
+        # floor 0.2 (not lower): metric_brdf clamps both GT and prediction
+        # to [0.2, 1] (reference parity), so any sub-0.2 portion of the
+        # blob would be invisible to the headline roughness PSNR.
+        roughness = jnp.clip(roughness - 0.55 * gate, 0.2, 1.0)
     return {"albedo": albedo, "roughness": roughness, "metallic": metallic}
 
 

@@ -17,6 +17,8 @@ GEN_SPP=${GEN_SPP:-64}
 # on this record (the all-dielectric scene saturates roughness, PERF 2i/3c)
 METALLIC_AMP=${METALLIC_AMP:-0.8}
 
+echo "SCALE config: HW=$HW N_TRAIN=$N_TRAIN N_CLUTTER=$N_CLUTTER \
+GEN_SPP=$GEN_SPP METALLIC_AMP=$METALLIC_AMP"
 echo "SCALE gen start $(date +%H:%M:%S)"
 python -m iris_tpu.data.make_demo_dataset "$ROOT" --hw $HW \
   --n_train "$N_TRAIN" --n_val 2 --spp "$GEN_SPP" --indir_depth 2 \

@@ -1,0 +1,134 @@
+"""Real 2-process jax.distributed functional coverage (SURVEY.md §2.6).
+
+The 8-device dryrun and sharded-equivalence tests run in ONE process; this
+suite runs an actual multi-controller CPU cluster (localhost coordinator,
+4 virtual devices per process = 8 global) through
+parallel/distributed.ensure_multihost and a real GSPMD train step, and
+checks:
+  - global device view (process_count=2, device_count=8)
+  - host-strided batch indices disjoint + complete across processes
+  - the 2-process psum'd step produces the SAME loss and param-update
+    checksum as the single-process 8-virtual-device step
+  - ensure_multihost HARD-FAILS on a dead coordinator instead of silently
+    degrading to single-host (round-2 verdict weak #6)
+
+Workers run in subprocesses with the axon plugin stripped from PYTHONPATH
+(pure-CPU jax; CLAUDE.md outage-workaround mechanism) so this never
+touches the TPU tunnel.
+"""
+
+import os
+import re
+import socket
+import subprocess
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+WORKER = os.path.join(REPO, "tests", "mp_worker.py")
+
+
+def _env(n_local_devices: int):
+    env = dict(os.environ)
+    env.update(
+        PYTHONPATH=REPO,  # axon site stripped: pure-CPU jax in the worker
+        JAX_PLATFORMS="cpu",
+        XLA_FLAGS=f"--xla_force_host_platform_device_count={n_local_devices}",
+        JAX_ENABLE_X64="0",
+    )
+    env.pop("IRIS_TPU_MULTIHOST", None)
+    return env
+
+
+def _free_port():
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        return s.getsockname()[1]
+
+
+def _parse(out: str, tag: str) -> str:
+    m = re.search(rf"^{tag} (.+)$", out, re.M)
+    assert m, f"{tag} not found in:\n{out}"
+    return m.group(1)
+
+
+@pytest.mark.slow
+def test_two_process_cluster_matches_single_process():
+    port = _free_port()
+    procs = [
+        subprocess.Popen(
+            [sys.executable, WORKER, "dist", str(i), "2", str(port)],
+            env=_env(4), stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            text=True)
+        for i in range(2)
+    ]
+    outs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=900)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        outs.append(out)
+        assert p.returncode == 0, out
+
+    single = subprocess.run(
+        [sys.executable, WORKER, "single"], env=_env(8),
+        capture_output=True, text=True, timeout=900)
+    assert single.returncode == 0, single.stdout + single.stderr
+
+    # global view
+    for out in outs:
+        assert "2, 4 local / 8 global devices" in _parse(out, "SUMMARY")
+
+    # disjoint + complete host input shards (batch 32 over 64 rays)
+    import json
+    idx0 = json.loads(_parse(outs[0], "IDX"))
+    idx1 = json.loads(_parse(outs[1], "IDX"))
+    assert len(idx0) == len(idx1) == 16
+    assert not set(idx0) & set(idx1)
+    assert set(idx0) | set(idx1) <= set(range(64))
+
+    # SPMD equivalence: same loss + update checksum on both processes and
+    # vs the single-process 8-device oracle
+    losses = [float(_parse(o, "LOSS")) for o in outs]
+    losses.append(float(_parse(single.stdout, "LOSS")))
+    chks = [float(_parse(o, "CHK")) for o in outs]
+    chks.append(float(_parse(single.stdout, "CHK")))
+    assert max(losses) - min(losses) <= 1e-4 * max(abs(losses[0]), 1e-6), losses
+    assert max(chks) - min(chks) <= 1e-3 * max(abs(chks[0]), 1e-6), chks
+
+
+def test_dead_coordinator_hard_fails():
+    """A dead coordinator must be a HARD failure. Depending on the jax
+    version this is either a catchable RuntimeError (worker prints RAISED)
+    or an absl FATAL from the coordination-service client (process
+    terminates, nonzero exit). Both are acceptable; what is forbidden is a
+    zero-exit run that continued single-host (NO_RAISE)."""
+    r = subprocess.run(
+        [sys.executable, WORKER, "deadcoord"], env=_env(2),
+        capture_output=True, text=True, timeout=300)
+    out = r.stdout + r.stderr
+    assert "NO_RAISE" not in out, out
+    if r.returncode == 0:
+        assert "RAISED" in out, out
+    else:
+        assert re.search(r"DEADLINE_EXCEEDED|Terminating process|failed",
+                         out), out
+
+
+def test_multihost_env_without_config_hard_fails(monkeypatch):
+    """IRIS_TPU_MULTIHOST=1 with no coordinator info must raise, not
+    print-and-continue (in-process check against a fresh module copy)."""
+    import importlib
+
+    from iris_tpu.parallel import distributed as dist_mod
+
+    mod = importlib.reload(dist_mod)
+    monkeypatch.setenv("IRIS_TPU_MULTIHOST", "1")
+    with pytest.raises(RuntimeError):
+        mod.ensure_multihost(timeout_s=5)
+    # restore the module-level flag for other tests
+    importlib.reload(dist_mod)
