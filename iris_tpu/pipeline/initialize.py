@@ -100,9 +100,12 @@ def main(argv=None):
                                           args.radiance_lr_scale)
     mesh_dev = data_mesh(args.n_devices)
 
-    from iris_tpu.train.validation import ScalarLogger, make_validation_hook
-    hooks = [ScalarLogger(os.path.join("outputs", args.experiment_name,
-                                       "train_log.jsonl"))]
+    from iris_tpu.train.validation import (
+        ScalarLogger, make_material_diag_hook, make_validation_hook,
+    )
+    log_path = os.path.join("outputs", args.experiment_name,
+                            "train_log.jsonl")
+    hooks = [ScalarLogger(log_path)]
     try:
         val_ds = make_dataset(args, "val")
         vb = val_ds.frame(min(args.val_frame, len(val_ds) - 1))
@@ -113,6 +116,8 @@ def main(argv=None):
             indir_depth=args.indir_depth, crf_gt=val_ds.crfs,
             param_tx=(lambda p: {**p, "radiance": param_to_radiance(
                 p["radiance"])}) if log_rad else None))
+        hooks.append(make_material_diag_hook(tracer, vb, log_path,
+                                             val_step=args.val_step))
     except Exception as e:  # val split optional
         print("[initialize] no validation split:", e)
 

@@ -97,9 +97,12 @@ def main(argv=None):
     optimizer = make_optimizer(args.learning_rate, args.weight_decay,
                                tuple(args.milestones), args.scheduler_rate,
                                args.optimizer)
-    from iris_tpu.train.validation import ScalarLogger, make_validation_hook
-    hooks = [ScalarLogger(os.path.join("outputs", args.experiment_name,
-                                       "train_log.jsonl"))]
+    from iris_tpu.train.validation import (
+        ScalarLogger, make_material_diag_hook, make_validation_hook,
+    )
+    log_path = os.path.join("outputs", args.experiment_name,
+                            "train_log.jsonl")
+    hooks = [ScalarLogger(log_path)]
     try:
         from iris_tpu.pipeline.common import load_emitter
         val_ds = make_dataset(args, "val")
@@ -110,6 +113,8 @@ def main(argv=None):
             os.path.join("outputs", args.experiment_name, args.dir_val),
             val_step=args.val_step, spp=args.spp,
             indir_depth=args.indir_depth, crf_gt=val_ds.crfs))
+        hooks.append(make_material_diag_hook(tracer, vb, log_path,
+                                             val_step=args.val_step))
     except Exception as e:
         print("[train_brdf_crf] no validation split:", e)
 

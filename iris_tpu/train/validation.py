@@ -45,6 +45,62 @@ class ScalarLogger:
             f.write(json.dumps(rec) + "\n")
 
 
+def make_material_diag_hook(tracer, val_batch, jsonl_path: str,
+                            val_step: int = 250, max_points: int = 16384):
+    """Roughness-saturation diagnostic (round-2 verdict weak #8).
+
+    When the specular signal is below the MC floor, roughness drifts to
+    the sigmoid ceiling and STAYS there (probes/ab_metallic_cont.log:
+    more training makes it worse, never better). This hook surfaces that
+    failure mode while it happens instead of in a post-mortem: every
+    val_step it evaluates the material at fixed first-hit surface points
+    and appends {rough_mean, rough_ceiling_frac, rough_floor_frac} to the
+    trainer's JSONL. A ceiling fraction >0.5 logs a warning naming the
+    documented counter-lever: the diffuse-prior weight `ld`
+    (LossConfig.ld, reference train_brdf_crf.py:210) — raising it damps
+    the diffuse term's absorption of residual specular energy.
+    """
+    from iris_tpu.geometry.intersect import ray_intersect
+
+    rays = np.asarray(val_batch["rays"], np.float32)
+    pts = []
+    for c in range(0, rays.shape[0], 8192):
+        rc = jnp.asarray(rays[c:c + 8192])
+        pos, _, _, _, valid = ray_intersect(
+            tracer, rc[..., :3], normalize(rc[..., 3:6]))
+        pts.append(np.asarray(pos)[np.asarray(valid)])
+    pts = np.concatenate(pts, 0)
+    if len(pts) > max_points:
+        pts = pts[np.random.default_rng(0).choice(len(pts), max_points,
+                                                  replace=False)]
+    pts = jnp.asarray(pts)
+
+    @jax.jit
+    def rough_stats(material):
+        r = ngp_brdf_apply(material, pts)["roughness"][:, 0]
+        return (jnp.mean(r), jnp.mean(r > 0.98), jnp.mean(r < 0.04))
+
+    def hook(step, params, loss, aux):
+        if step % val_step != 0 or "material" not in params:
+            return
+        mean, ceil_f, floor_f = (float(x) for x in rough_stats(
+            params["material"]))
+        rec = {"step": int(step), "rough_mean": round(mean, 4),
+               "rough_ceiling_frac": round(ceil_f, 4),
+               "rough_floor_frac": round(floor_f, 4)}
+        if ceil_f > 0.5:
+            rec["warning"] = (
+                "roughness saturated at the sigmoid ceiling for "
+                f"{ceil_f:.0%} of surface points - specular signal likely "
+                "below the MC floor; counter-lever: raise the diffuse "
+                "prior weight ld (LossConfig.ld)")
+            print(f"[diag] {rec['warning']}")
+        with open(jsonl_path, "a") as f:
+            f.write(json.dumps(rec) + "\n")
+
+    return hook
+
+
 def make_validation_hook(
     tracer, em_template, crf_template, val_batch, img_hw,
     out_dir: str, val_step: int = 250, spp: int = 8, indir_depth: int = 5,

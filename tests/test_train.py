@@ -425,3 +425,43 @@ def test_validation_hook_chunked_render(tmp_path):
     pngs = [f for f in os.listdir(tmp_path) if f.endswith(".png")]
     assert {"00005_L_train.png", "00005_L_full.png",
             "00005_L_gt.png"} <= set(pngs), pngs
+
+
+def test_material_diag_hook_logs_saturation(tmp_path):
+    """The roughness-saturation diagnostic (validation.py) must append
+    rough_* stats to the JSONL and emit the warning record when the
+    material's roughness rides the sigmoid ceiling."""
+    import json
+
+    from iris_tpu.train.validation import make_material_diag_hook
+
+    tracer, em, ngp, crf, _ = _tiny()
+    batch = make_demo_batch(n_side=8)
+    path = str(tmp_path / "log.jsonl")
+    hook = make_material_diag_hook(tracer, batch, path, val_step=10)
+
+    hook(10, {"material": ngp}, 0.0, {})
+    recs = [json.loads(l) for l in open(path)]
+    assert len(recs) == 1
+    r = recs[0]
+    assert set(r) >= {"step", "rough_mean", "rough_ceiling_frac",
+                      "rough_floor_frac"}
+    assert 0.0 <= r["rough_ceiling_frac"] <= 1.0
+
+    # saturate the head: huge positive bias on the roughness output unit
+    # (NGPBRDF head layout: material MLP final bias, roughness channel)
+    import dataclasses
+
+    import jax.tree_util as jtu
+
+    leaves, treedef = jtu.tree_flatten(ngp)
+    # crude but robust: push ALL params high -> sigmoid outputs ~1
+    sat = jtu.tree_unflatten(treedef, [l + 50.0 for l in leaves])
+    hook(20, {"material": sat}, 0.0, {})
+    recs = [json.loads(l) for l in open(path)]
+    assert len(recs) == 2
+    assert recs[1]["rough_ceiling_frac"] > 0.5
+    assert "warning" in recs[1] and "ld" in recs[1]["warning"]
+
+    hook(25, {"material": ngp}, 0.0, {})  # off-cadence: no record
+    assert len(open(path).readlines()) == 2
