@@ -46,20 +46,29 @@ def mat_corrs(root, ck, exp, amp):
     p = load_pytree(os.path.join(ck, exp, "last.pkl"))["material"]
     tr = ngp_brdf_apply(p, pos)
 
-    def corr(a, b):
-        a, b = np.asarray(a)[mask].ravel(), np.asarray(b)[mask].ravel()
-        if a.std() < 1e-6 or b.std() < 1e-6:
+    def corr(a, b, m):
+        a, b = np.asarray(a)[m].ravel(), np.asarray(b)[m].ravel()
+        if len(a) < 8 or a.std() < 1e-6 or b.std() < 1e-6:
             return float("nan")
         return float(np.corrcoef(a, b)[0, 1])
 
     out = {
-        "albedo": [corr(tr["albedo"][:, c:c + 1], gt["albedo"][:, c:c + 1])
-                   for c in range(3)],
-        "roughness": corr(tr["roughness"], gt["roughness"]),
-        "metallic": corr(tr["metallic"], gt["metallic"]),
+        "albedo": [corr(tr["albedo"][:, c:c + 1], gt["albedo"][:, c:c + 1],
+                        mask) for c in range(3)],
+        "roughness": corr(tr["roughness"], gt["roughness"], mask),
+        "metallic": corr(tr["metallic"], gt["metallic"], mask),
         "rough_pred_range": [float(np.asarray(tr["roughness"])[mask].min()),
                              float(np.asarray(tr["roughness"])[mask].max())],
     }
+    if amp:
+        # blob-gated pass: restrict to points where the injected metallic
+        # gate is strong, so the roughness/metallic signal is not diluted
+        # over the mostly-dielectric remainder (ADVICE round-2 #2)
+        gate = np.asarray(gt["metallic"])[:, 0] > 0.5 * amp
+        bmask = mask & gate
+        out["blob_n"] = int(bmask.sum())
+        out["blob_roughness"] = corr(tr["roughness"], gt["roughness"], bmask)
+        out["blob_metallic"] = corr(tr["metallic"], gt["metallic"], bmask)
     return out
 
 
