@@ -91,6 +91,16 @@ def _nee_and_bounce(
     o2 = jnp.concatenate([position + RAY_EPS * wi_e,
                           position + RAY_EPS * wi_b], 0)
     d2 = jnp.concatenate([wi_e, wi_b], 0)
+    # Dead-lane neutralization: inactive lanes would otherwise trace their
+    # STALE rays, forcing spurious node visits in the union traversal (a
+    # tile walks every node ANY of its lanes hits). Parking dead rays far
+    # above the scene pointing +z makes them root-miss in one step, and
+    # the spatial sort then clusters them into all-dead tiles that exit
+    # immediately — free active-set compaction at fixed shapes (deep
+    # bounces in trace_indirect/refine accumulate many dead lanes).
+    act2 = jnp.concatenate([active, active], 0)[:, None]
+    o2 = jnp.where(act2, o2, 1e7)
+    d2 = jnp.where(act2, d2, jnp.asarray([0.0, 0.0, 1.0]))
     pos2, nrm2, _, tri2, valid2 = ray_intersect(tracer, o2, d2,
                                                 sort=SORT_SECONDARY)
     emit_pos, pos_next = pos2[:n], pos2[n:]
