@@ -425,6 +425,14 @@ def _pallas_mode(tracer: Tracer, n_rays: int) -> str | None:
         if pallas_available(tracer):
             return "resident"
         if pallas_streamable(tracer):
+            # beyond every resident gate: near-first paired traversal
+            # through HBM windows replaces the single-cursor union walk
+            # (IRIS_TPU_PAIRED_STREAMED=0 restores the plain streamed
+            # kernel for A/B)
+            if (os.environ.get("IRIS_TPU_PAIRED_STREAMED", "auto") != "0"
+                    and tracer.leaf_size * 12 <= 128
+                    and tracer.n_nodes > 1):
+                return "paired_streamed"
             return "streamed"
         return None
     except Exception:
@@ -458,9 +466,12 @@ def ray_intersect(tracer: Tracer, xs: jnp.ndarray, ds: jnp.ndarray,
         from iris_tpu.geometry.pallas_intersect import (
             pallas_ray_trace, pallas_ray_trace_dense,
             pallas_ray_trace_ordered, pallas_ray_trace_paired,
-            pallas_ray_trace_streamed)
+            pallas_ray_trace_paired_streamed, pallas_ray_trace_streamed)
 
-        if mode == "streamed":
+        if mode == "paired_streamed":
+            t, u, v, face, valid = pallas_ray_trace_paired_streamed(
+                tracer, xs_t, ds_t, tile=8192)
+        elif mode == "streamed":
             t, u, v, face, valid = pallas_ray_trace_streamed(
                 tracer, xs_t, ds_t, tile=8192)
         elif mode == "dense":

@@ -224,3 +224,55 @@ def test_pallas_dense_matches_ordered_interpret():
                                max_rays_per_call=256)
     for x, y in zip(a, b):
         assert np.allclose(np.asarray(x), np.asarray(y), atol=1e-5)
+
+
+def test_pallas_paired_streamed_matches_brute_interpret():
+    """HBM-windowed paired kernel vs brute force, with tiny windows so
+    pair AND leaf window crossings (including two-leaf visits spanning
+    windows) are exercised."""
+    import pytest
+
+    from iris_tpu.geometry.pallas_intersect import (
+        pallas_ray_trace_paired_streamed, pallas_streamable)
+
+    mesh, _ = make_box_scene(n_clutter=12, seed=5)
+    tris = mesh.triangles()
+    tracer = build_bvh(tris)
+    if not pallas_streamable(tracer):
+        pytest.skip("native SAH builder unavailable (heap layout)")
+    o, d = random_rays(256, seed=13)
+    t, u, v, face, valid = pallas_ray_trace_paired_streamed(
+        tracer, jnp.asarray(o), jnp.asarray(d), tile=128, interpret=True,
+        pair_win=16, leaf_win=16)
+    p2, _, _, i2, v2 = ray_intersect_brute(jnp.asarray(tris),
+                                           jnp.asarray(o), jnp.asarray(d))
+    assert np.array_equal(np.asarray(valid), np.asarray(v2))
+    pv = np.asarray(valid)
+    p1 = np.asarray(o) + np.asarray(t)[:, None] * np.asarray(d)
+    assert np.allclose(p1[pv], np.asarray(p2)[pv], atol=1e-3)
+    same = (np.asarray(face) == np.asarray(i2))[pv]
+    assert same.mean() > 0.99
+
+
+def test_pallas_paired_streamed_matches_paired_interpret():
+    """Windowed and VMEM-resident paired kernels agree bit-exactly on the
+    same SAH tree (same traversal order, same arithmetic — only the
+    memory path differs)."""
+    import pytest
+
+    from iris_tpu.geometry.pallas_intersect import (
+        pallas_ray_trace_paired, pallas_ray_trace_paired_streamed,
+        pallas_streamable)
+
+    mesh, _ = make_box_scene(n_clutter=12, seed=6)
+    tracer = build_bvh(mesh.triangles())
+    if not pallas_streamable(tracer):
+        pytest.skip("native SAH builder unavailable (heap layout)")
+    o, d = random_rays(512, seed=14)
+    o, d = jnp.asarray(o), jnp.asarray(d)
+    a = pallas_ray_trace_paired(tracer, o, d, tile=128, interpret=True)
+    b = pallas_ray_trace_paired_streamed(tracer, o, d, tile=128,
+                                         interpret=True, pair_win=32,
+                                         leaf_win=32)
+    for x, y in zip(a, b):
+        assert np.array_equal(np.asarray(x), np.asarray(y))

@@ -162,7 +162,10 @@ def test_render_loss_drops(trained):
     import json
 
     log = os.path.join("outputs", "q_brdf", "train_log.jsonl")
-    rows = [json.loads(line) for line in open(log)]
+    # the JSONL interleaves per-step loss rows with material-diag rows
+    # (make_material_diag_hook) — keep only the loss records
+    rows = [r for r in (json.loads(line) for line in open(log))
+            if "loss_c" in r]
     first = np.mean([r["loss_c"] for r in rows[:5]])
     last = np.mean([r["loss_c"] for r in rows[-5:]])
     assert last < 0.6 * first, (first, last)
