@@ -49,6 +49,14 @@ class Tracer:
     # indices jump around). The HBM-streamed Pallas kernel requires
     # "preorder".
     layout: str = field(default="heap", metadata=dict(static=True))
+    # maximum node depth (root = 0), computed host-side at build time. The
+    # stack-based traversal kernels size their SMEM stacks from this: stack
+    # occupancy is bounded by depth+1 (each pop pushes at most far+near and
+    # the near entry is popped next step), so a correctly sized stack makes
+    # the overflow clamp in the kernels unreachable. 0 = unknown (legacy
+    # tracers): kernels fall back to the old fixed 64, which silently
+    # drops subtrees past 64 both-children-hit levels on skewed SAH trees.
+    depth: int = field(default=0, metadata=dict(static=True))
     # nodes[:,6] skip: next 1-based node in preorder after this subtree,
     #                  0 = traversal done.
     # nodes[:,7] desc: >=1 -> internal, value is the 1-based first child;
@@ -128,6 +136,24 @@ def _skip_pointers(n_nodes: int) -> np.ndarray:
     return out.astype(np.int32)
 
 
+def preorder_max_depth(nodes_np: np.ndarray) -> int:
+    """Max node depth (root = 0) of a preorder-layout tree, vectorized
+    from the skip pointers: node j's subtree spans rows [j, skip0_j), so
+    depth[i] = #{j < i : skip0_j > i} — an interval-increment prefix sum.
+    """
+    n = nodes_np.shape[0]
+    if n <= 1:
+        return 0
+    skip = nodes_np[:, 6].astype(np.int64)
+    skip0 = np.where(skip <= 0, n, skip - 1)          # 0-based end-of-subtree
+    idx = np.arange(n, dtype=np.int64)
+    skip0 = np.maximum(skip0, idx + 1)
+    delta = np.zeros(n + 1, np.int64)
+    np.add.at(delta, idx + 1, 1)
+    np.add.at(delta, skip0, -1)
+    return int(np.cumsum(delta)[:n].max())
+
+
 def build_bvh(triangles: np.ndarray, leaf_size: int = 4,
               method: str = "auto") -> Tracer:
     """Build the flat BVH from (F, 3, 3) triangle vertices.
@@ -160,6 +186,7 @@ def build_bvh(triangles: np.ndarray, leaf_size: int = 4,
                 leaf_size=leaf_size,
                 n_faces=n_faces,
                 layout="preorder",
+                depth=preorder_max_depth(nodes_np),
             )
         if method == "sah":
             raise RuntimeError("native SAH builder unavailable")
@@ -237,6 +264,7 @@ def build_bvh(triangles: np.ndarray, leaf_size: int = 4,
         n_nodes=n_nodes,
         leaf_size=leaf_size,
         n_faces=n_faces,
+        depth=depth,                  # complete tree: leaves at this level
     )
 
 

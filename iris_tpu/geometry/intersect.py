@@ -213,15 +213,20 @@ def ray_trace_tiled(tracer: Tracer, origins: jnp.ndarray, dirs: jnp.ndarray,
 
 def ray_trace_tiled_ordered(tracer: Tracer, origins: jnp.ndarray,
                             dirs: jnp.ndarray, tile: int = 1024,
-                            stack_depth: int = 64):
+                            stack_depth: int | None = None):
     """Union traversal with a per-tile stack and near-child-first ordering.
 
     Like ray_trace_tiled, but instead of the fixed preorder walk each tile
     keeps a small explicit stack and descends into the child whose box the
     tile's rays hit nearer on average — closest hits are found earlier and
     t-pruning culls far subtrees, cutting union path length on large trees.
-    Stack state is (n_tiles, depth): all gathers stay per-tile.
+    Stack state is (n_tiles, depth): all gathers stay per-tile. The stack
+    is sized from the tree's measured depth (occupancy bound depth + 1,
+    see pallas_intersect._auto_stack_depth) so the overflow clamp below
+    never drops subtrees on skewed SAH trees.
     """
+    if stack_depth is None:
+        stack_depth = max(64, tracer.depth + 4) if tracer.depth else 64
     origins = jax.lax.stop_gradient(origins)
     dirs = jax.lax.stop_gradient(dirs)
     B = origins.shape[0]
@@ -429,9 +434,11 @@ def _pallas_mode(tracer: Tracer, n_rays: int) -> str | None:
             # through HBM windows replaces the single-cursor union walk
             # (IRIS_TPU_PAIRED_STREAMED=0 restores the plain streamed
             # kernel for A/B)
+            from iris_tpu.geometry.pallas_intersect import (
+                paired_streamed_available)
+
             if (os.environ.get("IRIS_TPU_PAIRED_STREAMED", "auto") != "0"
-                    and tracer.leaf_size * 12 <= 128
-                    and tracer.n_nodes > 1):
+                    and paired_streamed_available(tracer)):
                 return "paired_streamed"
             return "streamed"
         return None

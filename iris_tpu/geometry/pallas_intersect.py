@@ -602,19 +602,40 @@ def _kernel_ordered(rays_ref, nodes_ref, tris_ref, out_ref, stack_ref, *,
     out_ref[4:8, :] = jnp.zeros((4,) + t_best.shape[1:], jnp.float32)
 
 
+def _auto_stack_depth(tracer: Tracer, stack_depth: int | None) -> int:
+    """Size the per-tile traversal stack from the tree's measured depth.
+
+    Stack occupancy during near-first traversal is bounded by depth + 1
+    (each pop pushes at most far+near and the near entry is popped next
+    step), so tracer.depth + 4 makes the in-kernel overflow clamp
+    unreachable — a fixed 64 silently DROPS subtrees (false misses) once
+    a skewed SAH tree exceeds 64 both-children-hit levels. depth == 0
+    (legacy tracer built before the field existed): keep the old 64."""
+    if stack_depth is not None:
+        return stack_depth
+    if not tracer.depth:
+        return 64
+    d = max(64, tracer.depth + 4)
+    assert d <= 32768, (
+        f"degenerate BVH (depth {tracer.depth}): traversal stack would "
+        f"need {d} SMEM words — rebuild with a saner leaf_size/split")
+    return d
+
+
 @functools.partial(jax.jit, static_argnames=(
     "tile", "interpret", "max_rays_per_call", "stack_depth"))
 def pallas_ray_trace_ordered(tracer: Tracer, origins: jnp.ndarray,
                              dirs: jnp.ndarray, tile: int = 8192,
                              interpret: bool = False,
                              max_rays_per_call: int = 1 << 16,
-                             stack_depth: int = 64):
+                             stack_depth: int | None = None):
     """Near-first + pop-time-pruned variant of pallas_ray_trace (VMEM-
     resident BVH, preorder layout required). Same results as the other
     kernels; faster where early close hits let pruning bite.
     Returns (t, u, v, face_id, valid), each (B,)."""
     assert tracer.layout == "preorder", \
         "ordered traversal needs the preorder (SAH) node layout"
+    stack_depth = _auto_stack_depth(tracer, stack_depth)
     origins = jax.lax.stop_gradient(origins)
     dirs = jax.lax.stop_gradient(dirs)
     B = origins.shape[0]
@@ -889,7 +910,7 @@ def pallas_ray_trace_paired(tracer: Tracer, origins: jnp.ndarray,
                             dirs: jnp.ndarray, tile: int = 8192,
                             interpret: bool = False,
                             max_rays_per_call: int = 1 << 16,
-                            stack_depth: int = 64):
+                            stack_depth: int | None = None):
     """Paired-layout variant of pallas_ray_trace_ordered: same near-first
     + pop-time-pruned traversal, but the VMEM-resident BVH is packed as
     sibling-pair rows + whole-leaf rows (~3x smaller staged footprint and
@@ -900,6 +921,7 @@ def pallas_ray_trace_paired(tracer: Tracer, origins: jnp.ndarray,
         "paired traversal needs the preorder (SAH) node layout"
     assert tracer.leaf_size * 12 <= 128, "leaf row exceeds one 128-lane row"
     assert tracer.n_nodes > 1, "paired traversal needs an internal root"
+    stack_depth = _auto_stack_depth(tracer, stack_depth)
     origins = jax.lax.stop_gradient(origins)
     dirs = jax.lax.stop_gradient(dirs)
     B = origins.shape[0]
@@ -1174,7 +1196,7 @@ def pallas_ray_trace_paired_streamed(tracer: Tracer, origins: jnp.ndarray,
                                      dirs: jnp.ndarray, tile: int = 8192,
                                      interpret: bool = False,
                                      max_rays_per_call: int = 1 << 16,
-                                     stack_depth: int = 64,
+                                     stack_depth: int | None = None,
                                      pair_win: int = 512,
                                      leaf_win: int = 512):
     """HBM-streamed variant of pallas_ray_trace_paired for BVHs too big
@@ -1185,6 +1207,7 @@ def pallas_ray_trace_paired_streamed(tracer: Tracer, origins: jnp.ndarray,
         "paired-streamed traversal needs the preorder (SAH) node layout"
     assert tracer.leaf_size * 12 <= 128, "leaf row exceeds one 128-lane row"
     assert tracer.n_nodes > 1, "paired traversal needs an internal root"
+    stack_depth = _auto_stack_depth(tracer, stack_depth)
     origins = jax.lax.stop_gradient(origins)
     dirs = jax.lax.stop_gradient(dirs)
     B = origins.shape[0]
@@ -1484,7 +1507,7 @@ def pallas_ray_trace_dense(tracer: Tracer, origins: jnp.ndarray,
                            dirs: jnp.ndarray, tile: int = 8192,
                            interpret: bool = False,
                            max_rays_per_call: int = 1 << 16,
-                           stack_depth: int = 64):
+                           stack_depth: int | None = None):
     """Dense-layout variant of pallas_ray_trace_paired: PAIR_PACK sibling
     pairs and LEAF_PACK whole leaves per 128-lane VMEM row (~10x smaller
     staged footprint than the (N,8)/(P,12) resident layout — ~100K-face
@@ -1494,6 +1517,7 @@ def pallas_ray_trace_dense(tracer: Tracer, origins: jnp.ndarray,
         "dense traversal needs the preorder (SAH) node layout"
     assert tracer.leaf_size * 12 <= 64, "leaf exceeds its 64-lane slot"
     assert tracer.n_nodes > 1, "dense traversal needs an internal root"
+    stack_depth = _auto_stack_depth(tracer, stack_depth)
     origins = jax.lax.stop_gradient(origins)
     dirs = jax.lax.stop_gradient(dirs)
     B = origins.shape[0]
@@ -1629,3 +1653,11 @@ def pallas_streamable(tracer: Tracer) -> bool:
     """The streamed kernel handles any size, but needs the preorder (SAH)
     layout."""
     return tracer.layout == "preorder"
+
+
+def paired_streamed_available(tracer: Tracer) -> bool:
+    """Eligibility for the HBM-streamed paired kernel — the single source
+    of truth shared with pallas_ray_trace_paired_streamed's asserts (a
+    gate/assert drift turns auto-selection into an in-jit error)."""
+    return (tracer.layout == "preorder" and tracer.n_nodes > 1
+            and tracer.leaf_size * 12 <= 128)

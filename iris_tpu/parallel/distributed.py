@@ -45,9 +45,15 @@ def ensure_multihost(coordinator: str | None = None,
     silent single-host run would drop (N-1)/N of the data.
     """
     global _INITIALIZED
-    if _INITIALIZED:
-        return jax.process_count() > 1
     want = os.environ.get("IRIS_TPU_MULTIHOST") == "1" or coordinator
+    if _INITIALIZED:
+        # Re-validate on every call: the hard-fail policy must not be
+        # one-shot (a driver that swallowed the first error, or a second
+        # stage CLI in the same process, would otherwise get a silent
+        # success with the wrong process count).
+        if want:
+            _validate_process_count(num_processes)
+        return jax.process_count() > 1
     if not want:
         return False
     if timeout_s is None:
@@ -70,7 +76,14 @@ def ensure_multihost(coordinator: str | None = None,
         raise RuntimeError(
             "IRIS_TPU_MULTIHOST=1 but jax.distributed.initialize "
             f"failed: {e}") from e
+    _validate_process_count(num_processes)
     _INITIALIZED = True
+    return jax.process_count() > 1
+
+
+def _validate_process_count(num_processes: int | None) -> None:
+    """Hard-fail when the joined cluster is smaller than requested —
+    runs after initialize AND on every re-entry (never one-shot)."""
     expected = num_processes if num_processes is not None else int(
         os.environ.get("IRIS_TPU_NUM_PROCESSES", "0"))
     got = jax.process_count()
@@ -84,7 +97,6 @@ def ensure_multihost(coordinator: str | None = None,
             "IRIS_TPU_MULTIHOST=1 but jax.process_count()==1 after "
             "initialize; set IRIS_TPU_NUM_PROCESSES or pass num_processes, "
             "or unset IRIS_TPU_MULTIHOST for a single-host run")
-    return got > 1
 
 
 def host_summary() -> str:

@@ -70,6 +70,14 @@ def make_material_diag_hook(tracer, val_batch, jsonl_path: str,
             tracer, rc[..., :3], normalize(rc[..., 3:6]))
         pts.append(np.asarray(pos)[np.asarray(valid)])
     pts = np.concatenate(pts, 0)
+    if len(pts) == 0:
+        # No valid first hits (val camera outside the mesh / bad
+        # transforms): means over an empty axis would write NaN — a token
+        # json.dumps emits but strict JSONL consumers reject — and a NaN
+        # ceiling_frac silently disables the saturation warning. Skip the
+        # hook loudly instead.
+        print("[diag] material diag hook disabled: val rays hit nothing")
+        return lambda step, params, loss, aux: None
     if len(pts) > max_points:
         pts = pts[np.random.default_rng(0).choice(len(pts), max_points,
                                                   replace=False)]
