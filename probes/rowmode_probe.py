@@ -26,7 +26,7 @@ N = int(os.environ.get("ROWMODE_N", 262144))   # 8192 batch x 32 spp
 
 
 def encode_times(l, f):
-    pls = 1.3 ** (31.0 / (l - 1))
+    pls = 1.3 ** (31.0 / max(l - 1, 1))
     cfg = HashGridConfig(n_levels=l, n_features=f, log2_table_size=19,
                          per_level_scale=pls, row_gather=(f > 2),
                          stochastic_fwd=True, stochastic_bwd=True,
@@ -68,7 +68,7 @@ def step_times(l, f):
     from iris_tpu.models.crf import crf_forward
     from iris_tpu.render.integrator import path_tracing_single
 
-    pls = 1.3 ** (31.0 / (l - 1))
+    pls = 1.3 ** (31.0 / max(l - 1, 1))
     tracer, em, ngp, crf, _ = make_demo_scene(
         n_clutter=32, slf_res=64, hash_levels=l, log2_table=19)
     cfg = dcr(ngp.cfg, n_features=f, per_level_scale=pls,
@@ -115,9 +115,13 @@ def step_times(l, f):
 
 
 if __name__ == "__main__":
-    for l, f in ((32, 2), (16, 4), (8, 8)):
+    arms = tuple(
+        tuple(int(v) for v in a.split("x"))
+        for a in os.environ.get(
+            "ROWMODE_ARMS", "32x2,16x4,8x8").split(","))
+    for l, f in arms:
         encode_times(l, f)
-    for l, f in ((32, 2), (16, 4), (8, 8)):
+    for l, f in arms:
         step_times(l, f)
     print("ROWMODE_PROBE_DONE", flush=True)
     os._exit(0)
