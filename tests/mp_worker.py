@@ -98,6 +98,20 @@ def main():
     chk = float(np.abs(np.asarray(delta.addressable_data(0))).sum())
     print(f"LOSS {lv:.8f}")
     print(f"CHK {chk:.6f}")
+    sys.stdout.flush()
+
+    if mode == "dist":
+        # Orderly teardown: shutdown() runs the coordination-service
+        # barrier so neither process FATALs on seeing its peer vanish
+        # (the race shows up as "Terminating process ... another task
+        # died" AFTER both results printed). It can hang on CPU
+        # clusters, so cap it and fall through to os._exit.
+        import threading
+
+        t = threading.Thread(target=lambda: jax.distributed.shutdown(),
+                             daemon=True)
+        t.start()
+        t.join(30)
 
 
 if __name__ == "__main__":
