@@ -433,10 +433,16 @@ def _pallas_mode(tracer: Tracer, n_rays: int) -> str | None:
             # beyond every resident gate: near-first paired traversal
             # through HBM windows replaces the single-cursor union walk
             # (IRIS_TPU_PAIRED_STREAMED=0 restores the plain streamed
-            # kernel for A/B)
+            # kernel for A/B). IRIS_TPU_DENSE_STREAMED=1 opts into the
+            # dense-packed streamed kernel (8 pairs / 2 leaves per DMA'd
+            # 128-lane row, ~8x fewer HBM bytes on DMA-bound walks) —
+            # opt-in until device-A/B'd.
             from iris_tpu.geometry.pallas_intersect import (
-                paired_streamed_available)
+                dense_streamed_available, paired_streamed_available)
 
+            if (os.environ.get("IRIS_TPU_DENSE_STREAMED", "0") == "1"
+                    and dense_streamed_available(tracer)):
+                return "dense_streamed"
             if (os.environ.get("IRIS_TPU_PAIRED_STREAMED", "auto") != "0"
                     and paired_streamed_available(tracer)):
                 return "paired_streamed"
@@ -472,10 +478,14 @@ def ray_intersect(tracer: Tracer, xs: jnp.ndarray, ds: jnp.ndarray,
     if mode and tile:
         from iris_tpu.geometry.pallas_intersect import (
             pallas_ray_trace, pallas_ray_trace_dense,
-            pallas_ray_trace_ordered, pallas_ray_trace_paired,
-            pallas_ray_trace_paired_streamed, pallas_ray_trace_streamed)
+            pallas_ray_trace_dense_streamed, pallas_ray_trace_ordered,
+            pallas_ray_trace_paired, pallas_ray_trace_paired_streamed,
+            pallas_ray_trace_streamed)
 
-        if mode == "paired_streamed":
+        if mode == "dense_streamed":
+            t, u, v, face, valid = pallas_ray_trace_dense_streamed(
+                tracer, xs_t, ds_t, tile=8192)
+        elif mode == "paired_streamed":
             t, u, v, face, valid = pallas_ray_trace_paired_streamed(
                 tracer, xs_t, ds_t, tile=8192)
         elif mode == "streamed":

@@ -1589,6 +1589,312 @@ def pallas_ray_trace_dense(tracer: Tracer, origins: jnp.ndarray,
     return t, u, v, face, valid
 
 
+def _kernel_dense_streamed(rays_ref, pairs_hbm, leaves_hbm, out_ref,
+                           stack_ref, pair_buf, leaf_buf, psem, lsem, *,
+                           leaf_size: int, n_pairs: int, n_leaf_rows: int,
+                           stack_depth: int, pair_win: int, leaf_win: int):
+    """Near-child-first DENSE traversal with the packed BVH left in HBM.
+
+    The paired-streamed kernel DMAs rows that carry ONE 16-lane pair in a
+    128-lane row — 8x pad on every byte that crosses HBM. TPU HBM layouts
+    tile the minor dim to 128 lanes, so the pad cannot be avoided by a
+    narrower array; it CAN be avoided by the dense packing (PAIR_PACK
+    pairs / LEAF_PACK leaves per row, _pack_dense): the same
+    (pair_win, 128) window now covers 8x more pairs, cutting window
+    crossings and total DMA bytes ~8x on DMA-bound walks (the 1M-face
+    incoherent case, PERF.md round-3e's honest remainder). Traversal and
+    slot extraction are identical to _kernel_dense; window machinery is
+    identical to _kernel_paired_streamed."""
+    ox = rays_ref[0:1, :]
+    oy = rays_ref[1:2, :]
+    oz = rays_ref[2:3, :]
+    dx = rays_ref[3:4, :]
+    dy = rays_ref[4:5, :]
+    dz = rays_ref[5:6, :]
+
+    def safe(v):
+        return jnp.where(jnp.abs(v) < 1e-12, 1e-12, v)
+
+    ix = 1.0 / safe(dx)
+    iy = 1.0 / safe(dy)
+    iz = 1.0 / safe(dz)
+
+    def slab(n0, n1, n2, n3, n4, n5, t_best):
+        tx0 = (n0 - ox) * ix
+        tx1 = (n3 - ox) * ix
+        ty0 = (n1 - oy) * iy
+        ty1 = (n4 - oy) * iy
+        tz0 = (n2 - oz) * iz
+        tz1 = (n5 - oz) * iz
+        tlo = jnp.maximum(jnp.maximum(jnp.minimum(tx0, tx1),
+                                      jnp.minimum(ty0, ty1)),
+                          jnp.minimum(tz0, tz1))
+        thi = jnp.minimum(jnp.minimum(jnp.maximum(tx0, tx1),
+                                      jnp.maximum(ty0, ty1)),
+                          jnp.maximum(tz0, tz1))
+        hit = (thi >= jnp.maximum(tlo, 0.0)) & (tlo <= t_best)
+        return hit, tlo
+
+    def slot_scalar(row, slot, lanes, n_slots, width):
+        outs = []
+        for k in lanes:
+            v = row[0, k]
+            for j in range(1, n_slots):
+                v = jnp.where(slot == j, row[0, j * width + k], v)
+            outs.append(v)
+        return outs
+
+    def leaf_hits(local_row, slot, hit, args):
+        t_best, u_b, v_b, f_b = args
+        row = leaf_buf[pl.ds(jnp.clip(local_row, 0, leaf_win - 1), 1), :]
+        for k in range(leaf_size):
+            c = k * 12
+            (v0x, v0y, v0z, e1x, e1y, e1z, e2x, e2y, e2z,
+             fid) = slot_scalar(row, slot, range(c, c + 10), LEAF_PACK, 64)
+            px = dy * e2z - dz * e2y
+            py = dz * e2x - dx * e2z
+            pz = dx * e2y - dy * e2x
+            det = e1x * px + e1y * py + e1z * pz
+            inv_det = jnp.where(jnp.abs(det) > _MT_EPS, 1.0 / det, 0.0)
+            tx = ox - v0x
+            ty = oy - v0y
+            tz = oz - v0z
+            u = (tx * px + ty * py + tz * pz) * inv_det
+            qx = ty * e1z - tz * e1y
+            qy = tz * e1x - tx * e1z
+            qz = tx * e1y - ty * e1x
+            v = (dx * qx + dy * qy + dz * qz) * inv_det
+            t = (e2x * qx + e2y * qy + e2z * qz) * inv_det
+            ok = ((jnp.abs(det) > _MT_EPS) & (u >= 0.0) & (v >= 0.0)
+                  & (u + v <= 1.0) & (t > 0.0) & (fid >= 0.0)
+                  & hit & (t < t_best))
+            t_best = jnp.where(ok, t, t_best)
+            u_b = jnp.where(ok, u, u_b)
+            v_b = jnp.where(ok, v, v_b)
+            f_b = jnp.where(ok, fid, f_b)
+        return t_best, u_b, v_b, f_b
+
+    def body(state):
+        sp, pwin, lwin, t_best, u_b, v_b, f_b = state
+        sp1 = sp - 1
+        p = stack_ref[sp1]
+        prow = p // PAIR_PACK
+        tgt_pwin = prow // pair_win
+
+        @pl.when(tgt_pwin != pwin)
+        def _():
+            cp = pltpu.make_async_copy(
+                pairs_hbm.at[pl.ds(tgt_pwin * pair_win, pair_win), :],
+                pair_buf, psem)
+            cp.start()
+            cp.wait()
+
+        row = pair_buf[pl.ds(prow - tgt_pwin * pair_win, 1), :]
+        (l0, l1, l2, l3, l4, l5, dl, r0, r1, r2, r3, r4, r5,
+         dr) = slot_scalar(row, p % PAIR_PACK,
+                           (0, 1, 2, 3, 4, 5, 6, 8, 9, 10, 11, 12, 13, 14),
+                           PAIR_PACK, 16)
+        hit_l, tlo_l = slab(l0, l1, l2, l3, l4, l5, t_best)
+        hit_r, tlo_r = slab(r0, r1, r2, r3, r4, r5, t_best)
+        any_l = jnp.any(hit_l)
+        any_r = jnp.any(hit_r)
+        l_leaf = dl <= 0.0
+        r_leaf = dr <= 0.0
+
+        # leaf children first (t_best shrinks before the pushes); DMAs
+        # stay OUTSIDE the lax.cond (streamed-kernel pattern), targets
+        # gated by the do flag
+        lrow_l = (-dl).astype(jnp.int32)
+        lrow_r = (-dr).astype(jnp.int32)
+        do_l = any_l & l_leaf
+        do_r = any_r & r_leaf
+        plrow_l = lrow_l // LEAF_PACK
+        plrow_r = lrow_r // LEAF_PACK
+        tgt_lwin1 = jnp.where(do_l, plrow_l // leaf_win, lwin)
+
+        @pl.when(tgt_lwin1 != lwin)
+        def _():
+            cp = pltpu.make_async_copy(
+                leaves_hbm.at[pl.ds(tgt_lwin1 * leaf_win, leaf_win), :],
+                leaf_buf, lsem)
+            cp.start()
+            cp.wait()
+
+        t_best, u_b, v_b, f_b = jax.lax.cond(
+            do_l,
+            functools.partial(leaf_hits, plrow_l - tgt_lwin1 * leaf_win,
+                              lrow_l % LEAF_PACK, hit_l),
+            lambda a: a, (t_best, u_b, v_b, f_b))
+
+        tgt_lwin2 = jnp.where(do_r, plrow_r // leaf_win, tgt_lwin1)
+
+        @pl.when(tgt_lwin2 != tgt_lwin1)
+        def _():
+            cp = pltpu.make_async_copy(
+                leaves_hbm.at[pl.ds(tgt_lwin2 * leaf_win, leaf_win), :],
+                leaf_buf, lsem)
+            cp.start()
+            cp.wait()
+
+        t_best, u_b, v_b, f_b = jax.lax.cond(
+            do_r,
+            functools.partial(leaf_hits, plrow_r - tgt_lwin2 * leaf_win,
+                              lrow_r % LEAF_PACK, hit_r),
+            lambda a: a, (t_best, u_b, v_b, f_b))
+
+        pid_l = jnp.clip(dl.astype(jnp.int32) - 1, 0, n_pairs - 1)
+        pid_r = jnp.clip(dr.astype(jnp.int32) - 1, 0, n_pairs - 1)
+        want_l = any_l & jnp.logical_not(l_leaf)
+        want_r = any_r & jnp.logical_not(r_leaf)
+        nl = jnp.sum((hit_l & want_l).astype(jnp.float32))
+        nr = jnp.sum((hit_r & want_r).astype(jnp.float32))
+        mean_l = jnp.sum(jnp.where(hit_l & want_l, tlo_l, 0.0)) \
+            / jnp.maximum(nl, 1.0)
+        mean_r = jnp.sum(jnp.where(hit_r & want_r, tlo_r, 0.0)) \
+            / jnp.maximum(nr, 1.0)
+        l_near = jnp.where(want_l & want_r, mean_l <= mean_r, want_l)
+        far = jnp.where(l_near, pid_r, pid_l)
+        near = jnp.where(l_near, pid_l, pid_r)
+        push_far = want_l & want_r
+        push_near = want_l | want_r
+
+        sp2 = sp1
+
+        @pl.when(push_far)
+        def _():
+            stack_ref[jnp.minimum(sp2, stack_depth - 1)] = far
+
+        sp3 = sp2 + push_far.astype(jnp.int32)
+
+        @pl.when(push_near)
+        def _():
+            stack_ref[jnp.minimum(sp3, stack_depth - 1)] = near
+
+        sp4 = jnp.minimum(sp3 + push_near.astype(jnp.int32), stack_depth)
+        return sp4, tgt_pwin, tgt_lwin2, t_best, u_b, v_b, f_b
+
+    def cond(state):
+        return state[0] > 0
+
+    stack_ref[0] = jnp.int32(0)                     # root's children pair
+    tile = ox.shape
+    init = (
+        jnp.int32(1),
+        jnp.int32(-1),      # no pair window loaded
+        jnp.int32(-1),      # no leaf window loaded
+        jnp.full(tile, T_MISS, jnp.float32),
+        jnp.zeros(tile, jnp.float32),
+        jnp.zeros(tile, jnp.float32),
+        jnp.full(tile, -1.0, jnp.float32),
+    )
+    _, _, _, t_best, u_b, v_b, f_b = jax.lax.while_loop(cond, body, init)
+    out_ref[0:1, :] = t_best
+    out_ref[1:2, :] = u_b
+    out_ref[2:3, :] = v_b
+    out_ref[3:4, :] = f_b
+    out_ref[4:8, :] = jnp.zeros((4,) + t_best.shape[1:], jnp.float32)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "tile", "interpret", "max_rays_per_call", "stack_depth", "pair_win",
+    "leaf_win"))
+def pallas_ray_trace_dense_streamed(tracer: Tracer, origins: jnp.ndarray,
+                                    dirs: jnp.ndarray, tile: int = 8192,
+                                    interpret: bool = False,
+                                    max_rays_per_call: int = 1 << 16,
+                                    stack_depth: int | None = None,
+                                    pair_win: int = 512,
+                                    leaf_win: int = 512):
+    """HBM-streamed variant of pallas_ray_trace_dense: the dense-packed
+    rows (PAIR_PACK pairs / LEAF_PACK leaves per 128-lane row) stay in
+    HBM behind (pair_win, 128)/(leaf_win, 128) VMEM windows — the same
+    256 KB window as paired_streamed now covers 8x more pairs / 2x more
+    leaves, so DMA-bound walks move ~8x fewer bytes.
+    Returns (t, u, v, face_id, valid), each (B,)."""
+    assert tracer.layout == "preorder", \
+        "dense-streamed traversal needs the preorder (SAH) node layout"
+    assert tracer.leaf_size * 12 <= 64, "leaf exceeds its 64-lane slot"
+    assert tracer.n_nodes > 1, "dense traversal needs an internal root"
+    stack_depth = _auto_stack_depth(tracer, stack_depth)
+    origins = jax.lax.stop_gradient(origins)
+    dirs = jax.lax.stop_gradient(dirs)
+    B = origins.shape[0]
+    pad = (-B) % tile
+    if pad:
+        origins = jnp.concatenate([origins, jnp.zeros((pad, 3))], 0)
+        dirs = jnp.concatenate(
+            [dirs, jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0]),
+                                    (pad, 3))], 0)
+    nt = (B + pad) // tile
+    o = origins.reshape(nt, tile, 3)
+    d = dirs.reshape(nt, tile, 3)
+    rays = jnp.concatenate([
+        jnp.swapaxes(o, 1, 2), jnp.swapaxes(d, 1, 2),
+        jnp.zeros((nt, 2, tile)),
+    ], axis=1).reshape(nt * 8, tile)
+
+    L = tracer.leaf_size
+    n_leaf_rows = tracer.tris.shape[0] // L
+    n_pairs = tracer.n_nodes - n_leaf_rows
+    pairs, leaves = _pack_dense(tracer, n_pairs, n_leaf_rows)
+    # pad to whole DMA windows
+    pairs = jnp.pad(pairs, ((0, (-pairs.shape[0]) % pair_win), (0, 0)))
+    leaves = jnp.pad(leaves, ((0, (-leaves.shape[0]) % leaf_win), (0, 0)))
+
+    kernel = functools.partial(
+        _kernel_dense_streamed, leaf_size=L, n_pairs=n_pairs,
+        n_leaf_rows=n_leaf_rows, stack_depth=stack_depth,
+        pair_win=pair_win, leaf_win=leaf_win)
+
+    chunk_nt = max(1, max_rays_per_call // tile)
+
+    def call(rays_chunk):
+        n_in = rays_chunk.shape[0] // 8
+        return pl.pallas_call(
+            kernel,
+            grid=(n_in,),
+            in_specs=[
+                pl.BlockSpec((8, tile), lambda i: (i, 0)),
+                pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY),
+                pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY),
+            ],
+            out_specs=pl.BlockSpec((8, tile), lambda i: (i, 0)),
+            out_shape=jax.ShapeDtypeStruct((n_in * 8, tile), jnp.float32),
+            scratch_shapes=[
+                pltpu.SMEM((stack_depth,), jnp.int32),
+                pltpu.VMEM((pair_win, 128), jnp.float32),
+                pltpu.VMEM((leaf_win, 128), jnp.float32),
+                pltpu.SemaphoreType.DMA,
+                pltpu.SemaphoreType.DMA,
+            ],
+            interpret=interpret,
+        )(rays_chunk, pairs, leaves)
+
+    if nt <= chunk_nt:
+        out = call(rays)
+    else:
+        n_super = -(-nt // chunk_nt)
+        pad_t = n_super * chunk_nt - nt
+        rays = rays.reshape(nt, 8, tile)
+        if pad_t:
+            filler = jnp.zeros((pad_t, 8, tile), rays.dtype)
+            filler = filler.at[:, 5].set(1.0)
+            rays = jnp.concatenate([rays, filler], 0)
+        parts = [call(rays[s * chunk_nt:(s + 1) * chunk_nt].reshape(
+            chunk_nt * 8, tile)) for s in range(n_super)]
+        out = jnp.concatenate(
+            [p.reshape(chunk_nt, 8, tile) for p in parts], 0
+        )[:nt].reshape(nt * 8, tile)
+
+    out = out.reshape(nt, 8, tile)
+    t = out[:, 0].reshape(-1)[:B]
+    u = out[:, 1].reshape(-1)[:B]
+    v = out[:, 2].reshape(-1)[:B]
+    face = out[:, 3].reshape(-1)[:B].astype(jnp.int32)
+    valid = face >= 0
+    return t, u, v, face, valid
+
+
 def dense_vmem_bytes(tracer: Tracer) -> int:
     """Staged VMEM footprint of the dense layout (packed pair + leaf rows,
     each a full (8,128)-tiled 128-lane row)."""
@@ -1661,3 +1967,10 @@ def paired_streamed_available(tracer: Tracer) -> bool:
     gate/assert drift turns auto-selection into an in-jit error)."""
     return (tracer.layout == "preorder" and tracer.n_nodes > 1
             and tracer.leaf_size * 12 <= 128)
+
+
+def dense_streamed_available(tracer: Tracer) -> bool:
+    """Eligibility for the HBM-streamed dense kernel (leaf must fit its
+    64-lane slot; shares pallas_ray_trace_dense_streamed's asserts)."""
+    return (tracer.layout == "preorder" and tracer.n_nodes > 1
+            and tracer.leaf_size * 12 <= 64)

@@ -403,3 +403,42 @@ def test_deep_tree_stack_sized_from_depth():
         tracer, o, d, tile=128, interpret=True, stack_depth=64)
     assert not np.array_equal(np.asarray(f_old), np.asarray(i2)), \
         "64-deep stack unexpectedly exact — test scene no longer stresses it"
+
+
+def test_pallas_dense_streamed_matches_dense_interpret():
+    """HBM-windowed dense kernel vs the VMEM-resident dense kernel:
+    bit-exact on the same tree (same traversal + arithmetic, only the
+    memory path differs), with tiny windows to exercise crossings."""
+    import pytest
+
+    from iris_tpu.geometry.pallas_intersect import (
+        pallas_ray_trace_dense, pallas_ray_trace_dense_streamed,
+        pallas_streamable)
+
+    mesh, _ = make_box_scene(n_clutter=12, seed=7)
+    tracer = build_bvh(mesh.triangles())
+    if not pallas_streamable(tracer):
+        pytest.skip("native SAH builder unavailable (heap layout)")
+    o, d = random_rays(512, seed=15)
+    o, d = jnp.asarray(o), jnp.asarray(d)
+    a = pallas_ray_trace_dense(tracer, o, d, tile=128, interpret=True)
+    b = pallas_ray_trace_dense_streamed(tracer, o, d, tile=128,
+                                        interpret=True, pair_win=8,
+                                        leaf_win=8)
+    for x, y in zip(a, b):
+        assert np.array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_pallas_dense_streamed_matches_brute_interpret():
+    """Dense-streamed kernel vs brute force, including the deep-tree
+    stack regime (auto-sized from tracer.depth)."""
+    from iris_tpu.geometry.pallas_intersect import (
+        pallas_ray_trace_dense_streamed)
+
+    tracer, tris, o, d = _deep_caterpillar_tracer(96)
+    o, d = jnp.asarray(o), jnp.asarray(d)
+    t, u, v, face, valid = pallas_ray_trace_dense_streamed(
+        tracer, o, d, tile=128, interpret=True, pair_win=8, leaf_win=8)
+    _, _, _, i2, v2 = ray_intersect_brute(jnp.asarray(tris), o, d)
+    assert np.asarray(valid).all()
+    assert np.array_equal(np.asarray(face), np.asarray(i2))
