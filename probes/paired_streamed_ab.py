@@ -22,8 +22,8 @@ import jax.numpy as jnp
 
 from iris_tpu.geometry.bvh import build_bvh
 from iris_tpu.geometry.pallas_intersect import (
-    paired_vmem_bytes, pallas_ray_trace_paired_streamed,
-    pallas_ray_trace_streamed)
+    paired_vmem_bytes, pallas_ray_trace_dense_streamed,
+    pallas_ray_trace_paired_streamed, pallas_ray_trace_streamed)
 from iris_tpu.geometry.procedural import _box, make_box_scene, random_rays
 from iris_tpu.utils.timing import bench_scan
 
@@ -64,7 +64,13 @@ def run(tag: str, tracer):
             tracer, o, d, tile=8192),
         "paired_streamed": lambda o, d: pallas_ray_trace_paired_streamed(
             tracer, o, d, tile=8192),
+        "dense_streamed": lambda o, d: pallas_ray_trace_dense_streamed(
+            tracer, o, d, tile=8192),
     }
+    arms = os.environ.get("AB_ARMS")
+    if arms:
+        kernels = {k: v for k, v in kernels.items()
+                   if k in arms.split(",")}
     for coherent in (True, False):
         o, d = rays_for(coherent, seed=11)
         for name, fn in kernels.items():
