@@ -101,6 +101,8 @@ def main(argv=None):
     parser.add_argument("--ckpt", type=str, default="last.pkl")
     parser.add_argument("--light_type", type=str, default="slf",
                         choices=["slf", "area"])
+    parser.add_argument("--max_frames", type=int, default=0,
+                        help="render only the first N frames (0 = all)")
     args = parser.parse_args(argv)
 
     ds_name, ds_root = args.dataset
@@ -140,8 +142,11 @@ def main(argv=None):
                                               args.indir_depth)
     n_rounds = max(args.SPP // args.spp, 1)
 
+    n_frames = len(dataset)
+    if args.max_frames:
+        n_frames = min(n_frames, args.max_frames)
     psnrs, ssims = [], []
-    for i in range(len(dataset)):
+    for i in range(n_frames):
         fr = dataset.frame(i)
         l_full, aovs = render_frame(render_chunk, aov_chunk, fr["rays"],
                                     n_rounds, jax.random.PRNGKey(i))

@@ -21,9 +21,12 @@ def _quantize(x):
     return np.round(np.clip(x, 0, 1) * 255) / 255.0
 
 
-def brdf_metrics(gt_path: str, method_path: str) -> dict:
+def brdf_metrics(gt_path: str, method_path: str,
+                 max_frames: int = 0) -> dict:
     image_num = len([f for f in os.listdir(os.path.join(gt_path, "Image"))
                      if not f.startswith(".") and f.endswith(".exr")])
+    if max_frames:
+        image_num = min(image_num, max_frames)
     mses = {"roughness": [], "albedo": [], "kd": []}
     ious, log_mses = [], []
     for i in range(image_num):
@@ -86,8 +89,10 @@ def main(argv=None):
                         help="GT split dir (e.g. scene/train)")
     parser.add_argument("--method", type=str, required=True,
                         help="render output split dir")
+    parser.add_argument("--max_frames", type=int, default=0,
+                        help="score only the first N frames (0 = all)")
     args = parser.parse_args(argv)
-    m = brdf_metrics(args.gt, args.method)
+    m = brdf_metrics(args.gt, args.method, args.max_frames)
     for k, v in m.items():
         print(f"{k:18s} {v:.5f}")
 

@@ -11,6 +11,7 @@ SPLIT=${SPLIT:-val}
 SPP=${SPP:-256}
 spp=${spp:-16}
 CRF_BASIS=${CRF_BASIS:-3}
+MAX_FRAMES=${MAX_FRAMES:-0}
 LDR_ARG=${LDR_IMG_DIR:+--ldr_img_dir $LDR_IMG_DIR}
 
 python -m iris_tpu.pipeline.render \
@@ -18,4 +19,4 @@ python -m iris_tpu.pipeline.render \
     --experiment_name $EXP/brdf1 \
     --emitter_path checkpoints/$EXP/bake \
     --output_path outputs/$EXP/render --split $SPLIT \
-    --SPP $SPP --spp $spp --crf_basis $CRF_BASIS
+    --SPP $SPP --spp $spp --crf_basis $CRF_BASIS --max_frames $MAX_FRAMES

@@ -16,9 +16,13 @@ GEN_SPP=${GEN_SPP:-64}
 # metallic low-roughness blob: makes roughness/metallic recovery scoreable
 # on this record (the all-dielectric scene saturates roughness, PERF 2i/3c)
 METALLIC_AMP=${METALLIC_AMP:-0.8}
+# eval subset: render/score only the first N train frames (0 = all) —
+# decomposition metrics converge well before the full frame set and the
+# render stage is ~45 min / 16 frames on the chip
+RENDER_FRAMES=${RENDER_FRAMES:-0}
 
 echo "SCALE config: HW=$HW N_TRAIN=$N_TRAIN N_CLUTTER=$N_CLUTTER \
-GEN_SPP=$GEN_SPP METALLIC_AMP=$METALLIC_AMP"
+GEN_SPP=$GEN_SPP METALLIC_AMP=$METALLIC_AMP RENDER_FRAMES=$RENDER_FRAMES"
 echo "SCALE gen start $(date +%H:%M:%S)"
 python -m iris_tpu.data.make_demo_dataset "$ROOT" --hw $HW \
   --n_train "$N_TRAIN" --n_val 2 --spp "$GEN_SPP" --indir_depth 2 \
@@ -38,10 +42,10 @@ export VOXEL_NUM=${VOXEL_NUM:-256} SPP=${SPP:-32} \
 bash scripts/run_pipeline.sh
 echo "SCALE trained $(date +%H:%M:%S)"
 
-SPLIT=train SPP=64 spp=16 bash scripts/render.sh
+SPLIT=train SPP=64 spp=16 MAX_FRAMES=$RENDER_FRAMES bash scripts/render.sh
 echo "SCALE rendered $(date +%H:%M:%S)"
 python -m iris_tpu.utils.metric_brdf --gt "$ROOT/train" \
-  --method "outputs/$EXP/render/train"
+  --method "outputs/$EXP/render/train" --max_frames "$RENDER_FRAMES"
 python -m iris_tpu.utils.metric_crf --crf_gt "$ROOT/train/ldr/cam/crf.npy" \
   --ckpt "checkpoints/$EXP/brdf1/last.pkl"
 echo SCALE_DONE
