@@ -226,7 +226,10 @@ def ray_trace_tiled_ordered(tracer: Tracer, origins: jnp.ndarray,
     never drops subtrees on skewed SAH trees.
     """
     if stack_depth is None:
-        stack_depth = max(64, tracer.depth + 4) if tracer.depth else 64
+        # single source of truth for the depth+4 headroom, 64 fallback,
+        # and the degenerate-tree guard
+        from iris_tpu.geometry.pallas_intersect import _auto_stack_depth
+        stack_depth = _auto_stack_depth(tracer, None)
     origins = jax.lax.stop_gradient(origins)
     dirs = jax.lax.stop_gradient(dirs)
     B = origins.shape[0]

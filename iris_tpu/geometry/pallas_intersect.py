@@ -616,9 +616,12 @@ def _auto_stack_depth(tracer: Tracer, stack_depth: int | None) -> int:
     if not tracer.depth:
         return 64
     d = max(64, tracer.depth + 4)
-    assert d <= 32768, (
-        f"degenerate BVH (depth {tracer.depth}): traversal stack would "
-        f"need {d} SMEM words — rebuild with a saner leaf_size/split")
+    if d > 32768:
+        # not an assert: under python -O this must still fail host-side
+        # instead of shipping a huge SMEM request to the remote compiler
+        raise ValueError(
+            f"degenerate BVH (depth {tracer.depth}): traversal stack would "
+            f"need {d} SMEM words — rebuild with a saner leaf_size/split")
     return d
 
 

@@ -58,6 +58,10 @@ def ensure_multihost(coordinator: str | None = None,
         return False
     if timeout_s is None:
         timeout_s = int(os.environ.get("IRIS_TPU_MULTIHOST_TIMEOUT", "300"))
+    # name the actual trigger in errors: the env var OR the coordinator arg
+    how = ("IRIS_TPU_MULTIHOST=1"
+           if os.environ.get("IRIS_TPU_MULTIHOST") == "1"
+           else f"coordinator={coordinator!r}")
     try:
         jax.distributed.initialize(
             coordinator_address=coordinator,
@@ -70,12 +74,12 @@ def ensure_multihost(coordinator: str | None = None,
             pass  # benign re-entry (e.g. two stage CLIs in one process)
         else:
             raise RuntimeError(
-                "IRIS_TPU_MULTIHOST=1 but jax.distributed.initialize "
-                f"failed: {e}") from e
+                f"multihost requested ({how}) but "
+                f"jax.distributed.initialize failed: {e}") from e
     except Exception as e:
         raise RuntimeError(
-            "IRIS_TPU_MULTIHOST=1 but jax.distributed.initialize "
-            f"failed: {e}") from e
+            f"multihost requested ({how}) but "
+            f"jax.distributed.initialize failed: {e}") from e
     _validate_process_count(num_processes)
     _INITIALIZED = True
     return jax.process_count() > 1
@@ -94,9 +98,10 @@ def _validate_process_count(num_processes: int | None) -> None:
             "silently (would train on 1/N of the data)")
     if not expected and got == 1:
         raise RuntimeError(
-            "IRIS_TPU_MULTIHOST=1 but jax.process_count()==1 after "
+            "multihost requested but jax.process_count()==1 after "
             "initialize; set IRIS_TPU_NUM_PROCESSES or pass num_processes, "
-            "or unset IRIS_TPU_MULTIHOST for a single-host run")
+            "or drop the multihost request (IRIS_TPU_MULTIHOST / "
+            "coordinator) for a single-host run")
 
 
 def host_summary() -> str:

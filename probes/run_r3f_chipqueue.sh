@@ -33,12 +33,14 @@ sleep 120
 echo "[queue] probe 1: dense_streamed A/B start $(date -u +%H:%M:%S)"
 AB_ARMS=dense_streamed python probes/paired_streamed_ab.py \
   > records/dense_streamed_ab_r3f.log 2>&1
-echo "[queue] probe 1 done $(date -u +%H:%M:%S) (exit $?)"
+rc=$?   # capture BEFORE the echo's $(date) resets $?
+echo "[queue] probe 1 done $(date -u +%H:%M:%S) (exit $rc)"
 
 sleep 120
 
 echo "[queue] probe 2: rowmode 4x16/2x32 start $(date -u +%H:%M:%S)"
 ROWMODE_ARMS=4x16,2x32 python probes/rowmode_probe.py \
   > records/rowmode_wide_r3f.log 2>&1
-echo "[queue] probe 2 done $(date -u +%H:%M:%S) (exit $?)"
+rc=$?
+echo "[queue] probe 2 done $(date -u +%H:%M:%S) (exit $rc)"
 echo "[queue] ALL DONE $(date -u +%H:%M:%S)"
