@@ -10,6 +10,17 @@
 set -u
 cd /root/repo
 SCALE_LOG=records/scale32_r3b.log
+# epoch after which NO new probe may start (protects the driver's
+# round-end bench.py from chip contention); default = +20 min from launch
+PROBE_CUTOFF=${PROBE_CUTOFF:-$(( $(date +%s) + 1200 ))}
+
+past_cutoff() {
+  if [ "$(date +%s)" -ge "$PROBE_CUTOFF" ]; then
+    echo "[queue] past probe cutoff ($(date -u +%H:%M:%S)) — $1 skipped"
+    return 0
+  fi
+  return 1
+}
 
 echo "[queue] waiting for SCALE_DONE in $SCALE_LOG ($(date -u +%H:%M:%S))"
 while true; do
@@ -30,6 +41,7 @@ done
 echo "[queue] 2-min client-spacing gap"
 sleep 120
 
+if past_cutoff "probe 1"; then exit 0; fi
 echo "[queue] probe 1: dense_streamed A/B start $(date -u +%H:%M:%S)"
 AB_ARMS=dense_streamed python probes/paired_streamed_ab.py \
   > records/dense_streamed_ab_r3f.log 2>&1
@@ -38,6 +50,7 @@ echo "[queue] probe 1 done $(date -u +%H:%M:%S) (exit $rc)"
 
 sleep 120
 
+if past_cutoff "probe 2"; then exit 0; fi
 echo "[queue] probe 2: rowmode 4x16/2x32 start $(date -u +%H:%M:%S)"
 ROWMODE_ARMS=4x16,2x32 python probes/rowmode_probe.py \
   > records/rowmode_wide_r3f.log 2>&1
