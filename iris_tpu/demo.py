@@ -28,8 +28,16 @@ def make_demo_scene(
     hash_levels: int = 16,
     log2_table: int = 15,
     seed: int = 0,
+    hash_features: int = 2,
+    per_level_scale: float = 1.3,
 ):
-    """Returns (tracer, emitter, ngp_params, crf, mesh)."""
+    """Returns (tracer, emitter, ngp_params, crf, mesh).
+
+    hash_features > 2 selects the row-gather grid layout (the production
+    default parameterization, pipeline/config.py hash_levels/hash_features);
+    per_level_scale -1 = auto: span the reference 32-level resolution range
+    (16 .. 16*1.3^31, model/brdf.py:227) at any level count. The default
+    1.3 keeps the historical demo-scene resolutions (golden tests)."""
     mesh, is_em = make_box_scene(n_clutter=n_clutter, seed=seed)
     tracer = build_bvh(mesh.triangles())
     mask = np.ones((slf_res,) * 3, bool)
@@ -39,9 +47,14 @@ def make_demo_scene(
         radiance=np.full((int(is_em.sum()), 3), 10.0, np.float32),
         slf=slf,
     )
+    if per_level_scale <= 0:
+        per_level_scale = 1.3 ** (31.0 / max(hash_levels - 1, 1))
     ngp = init_ngp_brdf(
         jax.random.PRNGKey(seed), -0.1, 2.1,
-        HashGridConfig(n_levels=hash_levels, log2_table_size=log2_table),
+        HashGridConfig(n_levels=hash_levels, log2_table_size=log2_table,
+                       n_features=hash_features,
+                       per_level_scale=per_level_scale,
+                       row_gather=hash_features > 2),
     )
     crf = init_emor_crf(dim=3)
     return tracer, em, ngp, crf, mesh

@@ -1911,7 +1911,16 @@ def dense_vmem_bytes(tracer: Tracer) -> int:
             + pad8(-(-n_leaf_rows // LEAF_PACK))) * 128 * 4
 
 
-def dense_available(tracer: Tracer, budget: int = 10 << 20) -> bool:
+def dense_available(tracer: Tracer, budget: int = 12 << 20) -> bool:
+    """Budget rationale (round 4): the dense kernel stages the packed BVH
+    plus ONE (8, tile) ray block and one out block per grid step (~0.5 MB
+    at tile=8192, double-buffered), so a 12 MB BVH leaves ~3 MB of the
+    16 MB scoped-vmem headroom — unlike the (N,8)/(P,12) resident layout
+    whose 10 MB gate was set by in-jit compile OOMs (vmem_bytes docstring).
+    The bump matters: a 102K-face SAH tree (39% leaf padding) stages
+    10.8 MB, just over the old 10 MB gate, and fell to the HBM-streamed
+    kernel (0.71M rays/s full step, PERF.md round-3e) despite fitting
+    VMEM (device A/B: records/dense102k_ab_r4.log)."""
     return (tracer.layout == "preorder" and tracer.n_nodes > 1
             and tracer.leaf_size * 12 <= 64
             and dense_vmem_bytes(tracer) <= budget)

@@ -45,7 +45,19 @@ default_options = {
     "l_crf_weight": {"type": float, "default": 0.001},
     # TPU-specific additions
     "n_devices": {"type": int, "default": None},
-    "hash_levels": {"type": int, "default": 32},
+    # PRODUCTION DEFAULT (round 4): 8 levels x 8 features — the row-gather
+    # grid (models/hashgrid.py row_gather). Same parameter count
+    # (L*F*2^19 = 2^24 table floats) and same 64-wide MLP input as the
+    # reference 32x2 parameterization (model/brdf.py:222-229), but each
+    # corner costs ONE (1,8) row gather instead of 8 scalar/packed
+    # gathers — 1.73x full-step throughput on TPU (2.684M vs 1.554M
+    # rays/s/chip, PERF.md round-3f), where the scalar-gather latency
+    # wall is the chip's weakest axis. Quality receipts: equal-capacity
+    # arms indistinguishable at miniature (PERF.md round-3a addendum) and
+    # at the 256x192 production-scale record (PERF.md round-4).
+    # Reference-parity parameterization: --hash_levels 32
+    # --hash_features 2 (kept exact; tests pin it explicitly).
+    "hash_levels": {"type": int, "default": 8},
     "log2_hashmap_size": {"type": int, "default": 19},
     # wide-feature levels (models/hashgrid.py row_gather): trade levels for
     # features at the SAME parameter count and MLP width — e.g.
@@ -54,7 +66,7 @@ default_options = {
     # gathers are ~free-width on this backend, PERF.md round-2e). -1 =
     # auto (row mode on when hash_features > 2). per_level_scale -1 = auto:
     # span the reference 32-level resolution range at any level count.
-    "hash_features": {"type": int, "default": 2},
+    "hash_features": {"type": int, "default": 8},
     "hash_row_gather": {"type": int, "default": -1},
     "per_level_scale": {"type": float, "default": -1.0},
     # hash-grid gradient/forward estimators for TRAINING (see

@@ -40,10 +40,16 @@ MatFn = Callable[[jnp.ndarray], dict]
 SORT_SECONDARY = True
 
 
-def _jitter_rays(key, rays_o, rays_d, dx_du, dy_dv, spp):
-    """Pixel-jittered camera rays replicated spp times (reference :232-234)."""
+def _jitter_rays(key, rays_o, rays_d, dx_du, dy_dv, spp, dudv=None):
+    """Pixel-jittered camera rays replicated spp times (reference :232-234).
+
+    dudv overrides the (2, B, spp, 1) uniform draws in [-0.5, 0.5) —
+    test hook for common-random-number differential oracles."""
     b = rays_o.shape[0]
-    du, dv = jax.random.uniform(key, (2, b, spp, 1), minval=-0.5, maxval=0.5)
+    if dudv is None:
+        dudv = jax.random.uniform(key, (2, b, spp, 1),
+                                  minval=-0.5, maxval=0.5)
+    du, dv = dudv
     wi = normalize(rays_d[:, None] + dx_du[:, None] * du + dy_dv[:, None] * dv)
     wi = wi.reshape(-1, 3)
     position = jnp.repeat(rays_o, spp, axis=0)
@@ -69,23 +75,31 @@ def _mis_power2(pdf_a: jnp.ndarray, pdf_b: jnp.ndarray, clamp_denom: float
 def _nee_and_bounce(
     key, tracer: Tracer, em: Emitter, mat_fn: MatFn,
     position, wo, normal, mat, active, g_clamp: float, mis_clamp: float,
-    trace_roughness: float | None,
+    trace_roughness: float | None, samples: dict | None = None,
 ):
     """One bounce worth of light transport: NEE direct term (reference
     :253-276) + BRDF-sampled term (:279-299), with the shadow ray and the
     bounce ray fused into ONE 2N-ray traversal (same results, half the
     traversal launches; bigger batches keep the union tiles fed).
 
+    `samples` overrides the uniform draws — keys 's1' (n,), 's2' (n, 2)
+    for the emitter sample and 's1b'/'s2b' for the BRDF sample. Test hook
+    for common-random-number differential oracles (tests/ref_oracle.py).
+
     Returns (nee_contrib, bounce_contrib, next_position, next_normal,
     next_wo, next_mat, next_active, brdf_weight)."""
     n = position.shape[0]
     k1, k2, k3, k4 = jax.random.split(key, 4)
-    s1 = jax.random.uniform(k1, (n,))
-    s2 = jax.random.uniform(k2, (n, 2))
+    if samples is None:
+        s1 = jax.random.uniform(k1, (n,))
+        s2 = jax.random.uniform(k2, (n, 2))
+        s1b = jax.random.uniform(k3, (n,))
+        s2b = jax.random.uniform(k4, (n, 2))
+    else:
+        s1, s2 = samples["s1"], samples["s2"]
+        s1b, s2b = samples["s1b"], samples["s2b"]
     wi_e, emit_pdf, emit_tri = sample_emitter(em, s1, s2, position)
 
-    s1b = jax.random.uniform(k3, (n,))
-    s2b = jax.random.uniform(k4, (n, 2))
     wi_b, brdf_pdf_b, brdf_weight = B.sample_brdf(s1b, s2b, wo, normal, mat)
 
     o2 = jnp.concatenate([position + RAY_EPS * wi_e,
@@ -165,16 +179,23 @@ def _nee_and_bounce(
 
 def path_tracing_single(
     key, tracer: Tracer, em: Emitter, mat_fn: MatFn,
-    rays_o, rays_d, dx_du, dy_dv, spp: int,
+    rays_o, rays_d, dx_du, dy_dv, spp: int, samples: dict | None = None,
 ):
     """Differentiable single-bounce estimator (training forward).
 
     Reference utils/path_tracing.py:320-407 with trace_roughness=0.0:
     first-hit emission + MIS direct light, with the second bounce always
-    falling back to the SLF radiance cache. Returns (B, 3)."""
+    falling back to the SLF radiance cache. Returns (B, 3).
+
+    `samples` overrides every uniform draw (keys: 'dudv' (2, B, spp, 1)
+    pixel jitter in [-0.5, 0.5), plus _nee_and_bounce's 's1'/'s2'/'s1b'/
+    's2b' per flat lane) — the common-random-number hook used by the
+    reference-transcription differential oracle (tests/ref_oracle.py)."""
     b = rays_o.shape[0]
     k_jit, k_b = jax.random.split(key)
-    position, wi = _jitter_rays(k_jit, rays_o, rays_d, dx_du, dy_dv, spp)
+    position, wi = _jitter_rays(k_jit, rays_o, rays_d, dx_du, dy_dv, spp,
+                                None if samples is None
+                                else samples["dudv"])
 
     position, normal, _, tri, _ = ray_intersect(tracer, position, wi)
     l, _, valid_next = eval_emitter(em, position, wi, tri)
@@ -184,7 +205,7 @@ def path_tracing_single(
 
     nee, bounce, *_ = _nee_and_bounce(
         k_b, tracer, em, mat_fn, position, wo, normal, mat, active,
-        1e-6, 1e-6, trace_roughness=0.0)
+        1e-6, 1e-6, trace_roughness=0.0, samples=samples)
     l = l + nee + bounce
     return l.reshape(b, spp, 3).mean(1)
 
