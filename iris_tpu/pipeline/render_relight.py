@@ -33,45 +33,98 @@ from iris_tpu.utils.video import write_video
 from dataclasses import replace as dc_replace
 
 
+# normal-incidence reflectance of the named mitsuba conductor presets —
+# the native renderer models conductors as metallic GGX with an F0 tint
+_CONDUCTOR_F0 = {
+    "Au": [1.0, 0.86, 0.57],
+    "Cu": [0.95, 0.64, 0.54],
+    "Ag": [0.97, 0.96, 0.91],
+    "Al": [0.91, 0.92, 0.92],
+    "none": [1.0, 1.0, 1.0],
+}
+
+
+def _bsdf_from_yaml(bsdf_cfg: dict) -> dict:
+    """Mitsuba-style bsdf dict -> native bsdf dict. Handles 'twosided'
+    wrappers (all geometry is double-sided natively), 'fipt', 'diffuse'
+    (reflectance rgb), 'conductor' (material preset -> F0 tint, smooth),
+    and 'roughconductor' (eta/k rgb -> normal-incidence Fresnel F0,
+    alpha_u/alpha_v -> GGX roughness) — the full surface used by the
+    reference's 21 per-scene configs (configs/{fipt,scannetpp}/*/
+    {insert,relight_0,relight_1}.yaml)."""
+    # unwrap 'twosided' and find the nested bsdf
+    inner = bsdf_cfg
+    if bsdf_cfg.get("type") == "twosided":
+        for v in bsdf_cfg.values():
+            if isinstance(v, dict) and v.get("type"):
+                inner = v
+    kind = inner.get("type", "diffuse")
+    if kind == "fipt":
+        return {"type": "fipt"}
+    if kind == "conductor":
+        tint = _CONDUCTOR_F0.get(inner.get("material", "none"),
+                                 [1.0, 1.0, 1.0])
+        return {"type": "conductor", "reflectance": tint,
+                "roughness": 0.05}
+    if kind == "roughconductor":
+        # F0 = ((eta-1)^2 + k^2) / ((eta+1)^2 + k^2); mitsuba alpha is the
+        # GGX alpha = roughness^2, anisotropy collapsed to the geometric
+        # mean (the native GGX lobe is isotropic)
+        eta = np.asarray(inner.get("eta", {}).get("value", [1.0, 1.0, 1.0]),
+                         np.float64)
+        k = np.asarray(inner.get("k", {}).get("value", [0.0, 0.0, 0.0]),
+                       np.float64)
+        f0 = ((eta - 1.0) ** 2 + k ** 2) / ((eta + 1.0) ** 2 + k ** 2)
+        a_u = float(inner.get("alpha_u", inner.get("alpha", 0.1)))
+        a_v = float(inner.get("alpha_v", a_u))
+        return {"type": "conductor", "reflectance": f0.tolist(),
+                "roughness": float((a_u * a_v) ** 0.25)}
+    refl = inner.get("reflectance", {})
+    return {"type": "diffuse",
+            "reflectance": refl.get("value", [0.5, 0.5, 0.5])
+            if isinstance(refl, dict) else [0.5, 0.5, 0.5]}
+
+
 def shapes_from_yaml(cfg: dict, mesh_path: str):
-    """Translate the mitsuba-style YAML dict into native shape dicts.
-    Returns (shapes, max_depth, fov)."""
+    """Translate the mitsuba-style YAML dict into native shape dicts
+    (reference render_relight.py:78-101 consumes the same files through
+    mitsuba's scene loader). Returns (shapes, max_depth, fov, disco):
+    `disco` is the optional disco_ball config block (scannetpp relight_1
+    configs) or None."""
     shapes = []
+    disco = None
     for name, item in cfg.items():
-        if not isinstance(item, dict) or "type" not in item:
+        if not isinstance(item, dict):
+            continue
+        if name == "disco_ball":
+            disco = dict(item)
+            continue
+        if "type" not in item:
             continue
         t = item["type"]
         if t in ("ply", "obj"):
             path = item.get("filename") or mesh_path
             tris = load_mesh(path).triangles()
-            bsdf_cfg = item.get("bsdf", {})
-            # unwrap 'twosided' and find the nested bsdf
-            inner = None
-            for v in bsdf_cfg.values():
-                if isinstance(v, dict) and v.get("type"):
-                    inner = v
-            kind = (inner or bsdf_cfg).get("type", "diffuse")
-            shapes.append({"kind": "mesh", "tris": tris,
-                           "bsdf": {"type": "fipt" if kind == "fipt"
-                                    else kind}})
+            if item.get("to_world"):
+                from iris_tpu.render.relight import apply_to_world
+                tris = apply_to_world(tris, item["to_world"])
+            sh = {"kind": "mesh", "tris": tris,
+                  "bsdf": _bsdf_from_yaml(item.get("bsdf", {}))}
+            if "emitter" in item:
+                sh["emitter"] = {
+                    "radiance": item["emitter"]["radiance"]["value"]}
+            shapes.append(sh)
         elif t == "sphere":
-            bsdf_cfg = item.get("bsdf", {"type": "diffuse"})
-            refl = bsdf_cfg.get("reflectance", {})
-            bsdf = {"type": bsdf_cfg.get("type", "diffuse"),
-                    "reflectance": refl.get("value", [0.5, 0.5, 0.5])
-                    if isinstance(refl, dict) else [0.5, 0.5, 0.5]}
-            if bsdf["type"] == "conductor":
-                bsdf["reflectance"] = [1.0, 0.86, 0.57] \
-                    if item.get("material") == "Au" else [1.0, 1.0, 1.0]
             sh = {"kind": "sphere", "to_world": item.get("to_world", []),
-                  "bsdf": bsdf}
+                  "bsdf": _bsdf_from_yaml(item.get("bsdf",
+                                                   {"type": "diffuse"}))}
             if "emitter" in item:
                 sh["emitter"] = {
                     "radiance": item["emitter"]["radiance"]["value"]}
             shapes.append(sh)
     depth = cfg.get("Integrator", {}).get("max_depth", 7)
     fov = cfg.get("PerspectiveCamera", {}).get("fov", 45)
-    return shapes, depth, fov
+    return shapes, depth, fov, disco
 
 
 def main(argv=None):
@@ -100,7 +153,16 @@ def main(argv=None):
 
     with open(args.light_cfg) as f:
         cfg = yaml.safe_load(f)
-    shapes, max_depth, _ = shapes_from_yaml(cfg, mesh_path)
+    shapes, max_depth, _, disco_cfg = shapes_from_yaml(cfg, mesh_path)
+    if disco_cfg is not None:
+        # YAML disco_ball block (scannetpp relight_1 configs) switches the
+        # animated ball on and overrides the CLI defaults
+        args.disco = 1
+        args.disco_position = disco_cfg.get("position",
+                                            args.disco_position)
+        args.disco_radius = float(disco_cfg.get("radius",
+                                                args.disco_radius))
+        args.disco_T = float(disco_cfg.get("T", args.disco_T))
 
     ckpt = load_pytree(os.path.join(args.checkpoint_path,
                                     args.experiment_name, args.ckpt))
@@ -137,9 +199,15 @@ def main(argv=None):
     # mitsuba scene per frame instead).
     base_spots = None
     if args.disco:
+        dk = disco_cfg or {}
         disco_shapes, base_spots = make_disco_ball(
             args.disco_position, args.disco_radius,
-            light_intensity=20.0, phase=0.0)
+            light_intensity=float(dk.get("light_intensity", 20.0)),
+            light_num=int(dk.get("light_num", 20)),
+            light_radius_rate=float(dk.get("light_radius_rate", 0.1)),
+            spot_intensity=float(dk.get("spot_intensity", 10.0)),
+            spot_cutoff_angle=float(dk.get("spot_cutoff_angle", 20.0)),
+            phase=0.0)
         scene0 = build_relight_scene(
             shapes, ngp=ngp, main_is_emitter=is_em,
             main_emitter_radiance=em_rad, dynamic_shapes=disco_shapes,
