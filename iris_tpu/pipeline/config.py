@@ -89,6 +89,13 @@ default_options = {
     # the training objective, so it is opt-in — see PERF.md round 2f).
     "fwd_level_sample": {"type": int, "default": 0},
     "max_segments": {"type": int, "default": 128},
+    # within-segment partner samples of the semantic propagation loss
+    # (train/steps.py propagation_loss). The reference draws 1024
+    # (train_brdf_crf.py:249); the fixed-shape estimator's MC error at
+    # 256 is already far below the loss's effect size (measured receipt:
+    # PERF.md round-4), so 256 is the default — --n_pairs 1024 restores
+    # the reference sample count exactly.
+    "n_pairs": {"type": int, "default": 256},
     # periodic full-state checkpoint cadence (steps) for kill-and-resume
     "save_every": {"type": int, "default": 1000},
     # optimizer steps per dispatch: run this many steps inside one jitted

@@ -88,6 +88,7 @@ def main(argv=None):
         spp=args.spp, n_spp_rounds=max(args.SPP // args.spp, 1),
         ld=args.ld, lp=args.lp, ls=args.ls, la=args.la,
         max_segments=args.max_segments, has_part=bool(args.has_part),
+        n_pairs=args.n_pairs,
         radiance_log_space=log_rad,
     )
     loss_fn = make_initialize_loss(tracer, em, crf, cfg)

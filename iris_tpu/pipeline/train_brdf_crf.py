@@ -91,6 +91,7 @@ def main(argv=None):
         l_crf_increasing=args.l_crf_increasing,
         l_crf_weight=args.l_crf_weight,
         max_segments=args.max_segments, has_part=bool(args.has_part),
+        n_pairs=args.n_pairs,
     )
     loss_fn = make_brdf_crf_loss(tracer, crf, cfg, float(slf.voxel_min),
                                  float(slf.voxel_max))

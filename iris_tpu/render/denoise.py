@@ -108,10 +108,18 @@ def denoise_hdr(img, n_passes: int = 3, sigma_color: float | None = None,
 
     sigma_color default: noise-proportional — 2x the q95 spike estimate
     (see estimate_noise_sigma), floored at the legacy 0.25 without guides
-    (guides carry the edge-stopping otherwise)."""
+    (guides carry the edge-stopping otherwise).
+
+    IRIS_TPU_NO_DENOISE=1 turns the wrapper into an identity — the A/B
+    switch quantifying what denoised shading caches buy the BRDF fit
+    (reference applies OptiX before writing caches, bake_shading.py:81;
+    receipt in PERF.md round-4)."""
     import numpy as np
 
     img = np.asarray(img, np.float32)
+    import os
+    if os.environ.get("IRIS_TPU_NO_DENOISE"):
+        return img
     if mask is not None:
         mask = np.asarray(mask, bool).reshape(img.shape[:2])
     if sigma_color is None:

@@ -29,12 +29,17 @@ EPOCHS_BRDF=${EPOCHS_BRDF:-0}
 EPOCHS_EMITTER=${EPOCHS_EMITTER:-0}
 VAL_FRAME=${VAL_FRAME:-0}
 L_CRF_WEIGHT=${L_CRF_WEIGHT:-0.001}
-# model/batch knobs (reference defaults; shrink for smoke tests)
+# model/batch knobs (shrink for smoke tests). Grid default = the round-4
+# production parameterization: 8 levels x 8 features row-gather grid, the
+# same parameter count / MLP width as the reference 32x2 at 1.73x step
+# throughput (pipeline/config.py, PERF.md round-3f + round-4 scale
+# receipt). Reference parity: HASH_LEVELS=32 HASH_FEATURES=2.
 BATCH_SIZE=${BATCH_SIZE:-8192}
-HASH_LEVELS=${HASH_LEVELS:-32}
+HASH_LEVELS=${HASH_LEVELS:-8}
+HASH_FEATURES=${HASH_FEATURES:-8}
 LOG2_HASH=${LOG2_HASH:-19}
 VOXEL_NUM=${VOXEL_NUM:-256}
-TRAIN_COMMON="--batch_size $BATCH_SIZE --hash_levels $HASH_LEVELS --log2_hashmap_size $LOG2_HASH" 
+TRAIN_COMMON="--batch_size $BATCH_SIZE --hash_levels $HASH_LEVELS --hash_features $HASH_FEATURES --log2_hashmap_size $LOG2_HASH"
 INIT_BUDGET="--max_steps $STEPS_INIT"
 [ "$EPOCHS_INIT" -gt 0 ] && INIT_BUDGET="--max_epochs $EPOCHS_INIT"
 BRDF_BUDGET="--max_steps $STEPS_BRDF"
