@@ -31,8 +31,17 @@ T_MISS = 3e37
 _MT_EPS = 1e-9
 
 
-def _kernel(rays_ref, nodes_ref, tris_ref, out_ref, *, leaf_size: int,
-            n_nodes: int):
+# --------------------------------------------------------------------------
+# Shared kernel building blocks (round-4 dedup of the 7-kernel family).
+# Every kernel composes the same lane-vector primitives; only traversal
+# order, BVH row layout, and memory staging differ. The helpers are
+# Python-level extraction: they trace to the SAME jaxpr the inlined copies
+# produced, so compiled kernels (and their compile-cache entries and
+# device A/B numbers) are unchanged by construction.
+
+def _ray_ctx(rays_ref):
+    """Unpack the (8, TILE) ray block into lane vectors + safe reciprocal
+    directions: [ox oy oz dx dy dz pad pad] rows."""
     ox = rays_ref[0:1, :]
     oy = rays_ref[1:2, :]
     oz = rays_ref[2:3, :]
@@ -46,6 +55,12 @@ def _kernel(rays_ref, nodes_ref, tris_ref, out_ref, *, leaf_size: int,
     ix = 1.0 / safe(dx)
     iy = 1.0 / safe(dy)
     iz = 1.0 / safe(dz)
+    return ox, oy, oz, dx, dy, dz, ix, iy, iz
+
+
+def _make_slab(ox, oy, oz, ix, iy, iz, with_tlo=False):
+    """Lane-vector AABB slab test against scalar bounds. with_tlo also
+    returns the entry distance (near-first kernels order children by it)."""
 
     def slab(n0, n1, n2, n3, n4, n5, t_best):
         tx0 = (n0 - ox) * ix
@@ -60,7 +75,109 @@ def _kernel(rays_ref, nodes_ref, tris_ref, out_ref, *, leaf_size: int,
         thi = jnp.minimum(jnp.minimum(jnp.maximum(tx0, tx1),
                                       jnp.maximum(ty0, ty1)),
                           jnp.maximum(tz0, tz1))
-        return (thi >= jnp.maximum(tlo, 0.0)) & (tlo <= t_best)
+        hit = (thi >= jnp.maximum(tlo, 0.0)) & (tlo <= t_best)
+        if with_tlo:
+            return hit, tlo
+        return hit
+
+    return slab
+
+
+def _mt_fold(tri, fid, hit, rays, state):
+    """Moller-Trumbore: ONE scalar triangle (v0, e1, e2 components) against
+    the lane ray vectors, folded into the per-lane best-hit state under
+    `hit` (the enclosing box/leaf mask) and the standard validity clause."""
+    v0x, v0y, v0z, e1x, e1y, e1z, e2x, e2y, e2z = tri
+    ox, oy, oz, dx, dy, dz = rays
+    t_best, u_b, v_b, f_b = state
+    px = dy * e2z - dz * e2y
+    py = dz * e2x - dx * e2z
+    pz = dx * e2y - dy * e2x
+    det = e1x * px + e1y * py + e1z * pz
+    inv_det = jnp.where(jnp.abs(det) > _MT_EPS, 1.0 / det, 0.0)
+    tx = ox - v0x
+    ty = oy - v0y
+    tz = oz - v0z
+    u = (tx * px + ty * py + tz * pz) * inv_det
+    qx = ty * e1z - tz * e1y
+    qy = tz * e1x - tx * e1z
+    qz = tx * e1y - ty * e1x
+    v = (dx * qx + dy * qy + dz * qz) * inv_det
+    t = (e2x * qx + e2y * qy + e2z * qz) * inv_det
+    ok = ((jnp.abs(det) > _MT_EPS) & (u >= 0.0) & (v >= 0.0)
+          & (u + v <= 1.0) & (t > 0.0) & (fid >= 0.0)
+          & hit & (t < t_best))
+    t_best = jnp.where(ok, t, t_best)
+    u_b = jnp.where(ok, u, u_b)
+    v_b = jnp.where(ok, v, v_b)
+    f_b = jnp.where(ok, fid, f_b)
+    return t_best, u_b, v_b, f_b
+
+
+def _pack_rays(origins, dirs, tile):
+    """Host side: pad B rays to a tile multiple and pack 8 rows per tile
+    ([ox oy oz dx dy dz 0 0] — Mosaic requires sublane-divisible blocks).
+    Returns (rays (nt*8, tile), nt, B)."""
+    origins = jax.lax.stop_gradient(origins)
+    dirs = jax.lax.stop_gradient(dirs)
+    B = origins.shape[0]
+    pad = (-B) % tile
+    if pad:
+        origins = jnp.concatenate([origins, jnp.zeros((pad, 3))], 0)
+        dirs = jnp.concatenate(
+            [dirs, jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0]),
+                                    (pad, 3))], 0)
+    nt = (B + pad) // tile
+    o = origins.reshape(nt, tile, 3)
+    d = dirs.reshape(nt, tile, 3)
+    rays = jnp.concatenate([
+        jnp.swapaxes(o, 1, 2), jnp.swapaxes(d, 1, 2),
+        jnp.zeros((nt, 2, tile)),
+    ], axis=1).reshape(nt * 8, tile)
+    return rays, nt, B
+
+
+def _run_chunked(rays, nt, tile, max_rays_per_call, call):
+    """Host side: cap each pallas_call at max_rays_per_call rays — this
+    backend stages the ENTIRE in/out of a tpu_custom_call in scoped VMEM
+    (measured: 16 MB OOM at 262K rays regardless of grid blocking) — via
+    an UNROLLED python loop, not lax.map (the map's stacked accumulator
+    gets VMEM-pinned next to the custom call; separate sequential calls
+    keep only ~2 MB live at once)."""
+    chunk_nt = max(1, max_rays_per_call // tile)
+    if nt <= chunk_nt:
+        return call(rays)
+    n_super = -(-nt // chunk_nt)
+    pad_t = n_super * chunk_nt - nt
+    rays = rays.reshape(nt, 8, tile)
+    if pad_t:
+        filler = jnp.zeros((pad_t, 8, tile), rays.dtype)
+        filler = filler.at[:, 5].set(1.0)   # dz=1 dummy rays
+        rays = jnp.concatenate([rays, filler], 0)
+    parts = [call(rays[s * chunk_nt:(s + 1) * chunk_nt].reshape(
+        chunk_nt * 8, tile)) for s in range(n_super)]
+    return jnp.concatenate(
+        [p.reshape(chunk_nt, 8, tile) for p in parts], 0
+    )[:nt].reshape(nt * 8, tile)
+
+
+def _unpack_out(out, nt, tile, B):
+    """Host side: (nt*8, tile) result rows -> (t, u, v, face_id, valid)."""
+    out = out.reshape(nt, 8, tile)
+    t = out[:, 0].reshape(-1)[:B]
+    u = out[:, 1].reshape(-1)[:B]
+    v = out[:, 2].reshape(-1)[:B]
+    face = out[:, 3].reshape(-1)[:B].astype(jnp.int32)
+    valid = face >= 0
+    return t, u, v, face, valid
+
+
+
+def _kernel(rays_ref, nodes_ref, tris_ref, out_ref, *, leaf_size: int,
+            n_nodes: int):
+    (ox, oy, oz, dx, dy, dz, ix, iy, iz) = _ray_ctx(rays_ref)
+
+    slab = _make_slab(ox, oy, oz, ix, iy, iz)
 
     def body(state):
         cur, t_best, u_b, v_b, f_b = state
@@ -83,27 +200,10 @@ def _kernel(rays_ref, nodes_ref, tris_ref, out_ref, *, leaf_size: int,
                 e2x, e2y, e2z = row[0, 6], row[0, 7], row[0, 8]
                 fid = row[0, 9]
                 # Moller-Trumbore with scalar triangle, vector rays
-                px = dy * e2z - dz * e2y
-                py = dz * e2x - dx * e2z
-                pz = dx * e2y - dy * e2x
-                det = e1x * px + e1y * py + e1z * pz
-                inv_det = jnp.where(jnp.abs(det) > _MT_EPS, 1.0 / det, 0.0)
-                tx = ox - v0x
-                ty = oy - v0y
-                tz = oz - v0z
-                u = (tx * px + ty * py + tz * pz) * inv_det
-                qx = ty * e1z - tz * e1y
-                qy = tz * e1x - tx * e1z
-                qz = tx * e1y - ty * e1x
-                v = (dx * qx + dy * qy + dz * qz) * inv_det
-                t = (e2x * qx + e2y * qy + e2z * qz) * inv_det
-                ok = ((jnp.abs(det) > _MT_EPS) & (u >= 0.0) & (v >= 0.0)
-                      & (u + v <= 1.0) & (t > 0.0) & (fid >= 0.0)
-                      & hit & (t < t_best))
-                t_best = jnp.where(ok, t, t_best)
-                u_b = jnp.where(ok, u, u_b)
-                v_b = jnp.where(ok, v, v_b)
-                f_b = jnp.where(ok, fid, f_b)
+                t_best, u_b, v_b, f_b = _mt_fold(
+                    (v0x, v0y, v0z, e1x, e1y, e1z, e2x, e2y, e2z),
+                    fid, hit, (ox, oy, oz, dx, dy, dz),
+                    (t_best, u_b, v_b, f_b))
             return t_best, u_b, v_b, f_b
 
         t_best, u_b, v_b, f_b = jax.lax.cond(
@@ -142,32 +242,11 @@ def pallas_ray_trace(tracer: Tracer, origins: jnp.ndarray,
                      interpret: bool = False,
                      max_rays_per_call: int = 1 << 16):
     """Returns (t, u, v, face_id, valid), each (B,)."""
-    origins = jax.lax.stop_gradient(origins)
-    dirs = jax.lax.stop_gradient(dirs)
-    B = origins.shape[0]
-    pad = (-B) % tile
-    if pad:
-        origins = jnp.concatenate([origins, jnp.zeros((pad, 3))], 0)
-        dirs = jnp.concatenate(
-            [dirs, jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0]),
-                                    (pad, 3))], 0)
-    nt = (B + pad) // tile
-    # pack rays as 8 rows per tile: [ox oy oz dx dy dz 0 0]
-    o = origins.reshape(nt, tile, 3)
-    d = dirs.reshape(nt, tile, 3)
-    rays = jnp.concatenate([
-        jnp.swapaxes(o, 1, 2), jnp.swapaxes(d, 1, 2),
-        jnp.zeros((nt, 2, tile)),
-    ], axis=1).reshape(nt * 8, tile)
+    rays, nt, B = _pack_rays(origins, dirs, tile)
 
     kernel = functools.partial(_kernel, leaf_size=tracer.leaf_size,
                                n_nodes=tracer.n_nodes)
 
-    # XLA on this backend stages the ENTIRE in/out of a tpu_custom_call in
-    # scoped VMEM (measured: 16 MB OOM at 262K rays regardless of grid
-    # blocking), so cap each pallas_call at <=64K rays and lax.map over
-    # super-chunks; the BVH stays resident across calls.
-    chunk_nt = max(1, max_rays_per_call // tile)
 
     def call(rays_chunk):
         n_in = rays_chunk.shape[0] // 8
@@ -184,32 +263,9 @@ def pallas_ray_trace(tracer: Tracer, origins: jnp.ndarray,
             interpret=interpret,
         )(rays_chunk, tracer.nodes, tracer.tris)
 
-    if nt <= chunk_nt:
-        out = call(rays)
-    else:
-        # UNROLLED python loop, not lax.map: this backend VMEM-pins the
-        # map's stacked accumulator next to the custom call (16 MB OOM);
-        # separate sequential calls keep only ~2 MB live at once.
-        n_super = -(-nt // chunk_nt)
-        pad_t = n_super * chunk_nt - nt
-        rays = rays.reshape(nt, 8, tile)
-        if pad_t:
-            filler = jnp.zeros((pad_t, 8, tile), rays.dtype)
-            filler = filler.at[:, 5].set(1.0)   # dz=1 dummy rays
-            rays = jnp.concatenate([rays, filler], 0)
-        parts = [call(rays[s * chunk_nt:(s + 1) * chunk_nt].reshape(
-            chunk_nt * 8, tile)) for s in range(n_super)]
-        out = jnp.concatenate(
-            [p.reshape(chunk_nt, 8, tile) for p in parts], 0
-        )[:nt].reshape(nt * 8, tile)
+    out = _run_chunked(rays, nt, tile, max_rays_per_call, call)
 
-    out = out.reshape(nt, 8, tile)
-    t = out[:, 0].reshape(-1)[:B]
-    u = out[:, 1].reshape(-1)[:B]
-    v = out[:, 2].reshape(-1)[:B]
-    face = out[:, 3].reshape(-1)[:B].astype(jnp.int32)
-    valid = face >= 0
-    return t, u, v, face, valid
+    return _unpack_out(out, nt, tile, B)
 
 
 def _kernel_streamed(rays_ref, nodes_hbm, tris_hbm, out_ref,
@@ -229,34 +285,9 @@ def _kernel_streamed(rays_ref, nodes_hbm, tris_hbm, out_ref,
     Every in-kernel lane offset is then STATIC; only sublane indices are
     dynamic (which VMEM supports).
     """
-    ox = rays_ref[0:1, :]
-    oy = rays_ref[1:2, :]
-    oz = rays_ref[2:3, :]
-    dx = rays_ref[3:4, :]
-    dy = rays_ref[4:5, :]
-    dz = rays_ref[5:6, :]
+    (ox, oy, oz, dx, dy, dz, ix, iy, iz) = _ray_ctx(rays_ref)
 
-    def safe(v):
-        return jnp.where(jnp.abs(v) < 1e-12, 1e-12, v)
-
-    ix = 1.0 / safe(dx)
-    iy = 1.0 / safe(dy)
-    iz = 1.0 / safe(dz)
-
-    def slab(n0, n1, n2, n3, n4, n5, t_best):
-        tx0 = (n0 - ox) * ix
-        tx1 = (n3 - ox) * ix
-        ty0 = (n1 - oy) * iy
-        ty1 = (n4 - oy) * iy
-        tz0 = (n2 - oz) * iz
-        tz1 = (n5 - oz) * iz
-        tlo = jnp.maximum(jnp.maximum(jnp.minimum(tx0, tx1),
-                                      jnp.minimum(ty0, ty1)),
-                          jnp.minimum(tz0, tz1))
-        thi = jnp.minimum(jnp.minimum(jnp.maximum(tx0, tx1),
-                                      jnp.maximum(ty0, ty1)),
-                          jnp.maximum(tz0, tz1))
-        return (thi >= jnp.maximum(tlo, 0.0)) & (tlo <= t_best)
+    slab = _make_slab(ox, oy, oz, ix, iy, iz)
 
     def body(state):
         cur, nwin, twin, t_best, u_b, v_b, f_b = state
@@ -301,27 +332,10 @@ def _kernel_streamed(rays_ref, nodes_hbm, tris_hbm, out_ref,
                 e1x, e1y, e1z = lf[0, c + 3], lf[0, c + 4], lf[0, c + 5]
                 e2x, e2y, e2z = lf[0, c + 6], lf[0, c + 7], lf[0, c + 8]
                 fid = lf[0, c + 9]
-                px = dy * e2z - dz * e2y
-                py = dz * e2x - dx * e2z
-                pz = dx * e2y - dy * e2x
-                det = e1x * px + e1y * py + e1z * pz
-                inv_det = jnp.where(jnp.abs(det) > _MT_EPS, 1.0 / det, 0.0)
-                tx = ox - v0x
-                ty = oy - v0y
-                tz = oz - v0z
-                u = (tx * px + ty * py + tz * pz) * inv_det
-                qx = ty * e1z - tz * e1y
-                qy = tz * e1x - tx * e1z
-                qz = tx * e1y - ty * e1x
-                v = (dx * qx + dy * qy + dz * qz) * inv_det
-                t = (e2x * qx + e2y * qy + e2z * qz) * inv_det
-                ok = ((jnp.abs(det) > _MT_EPS) & (u >= 0.0) & (v >= 0.0)
-                      & (u + v <= 1.0) & (t > 0.0) & (fid >= 0.0)
-                      & hit & (t < t_best))
-                t_best = jnp.where(ok, t, t_best)
-                u_b = jnp.where(ok, u, u_b)
-                v_b = jnp.where(ok, v, v_b)
-                f_b = jnp.where(ok, fid, f_b)
+                t_best, u_b, v_b, f_b = _mt_fold(
+                    (v0x, v0y, v0z, e1x, e1y, e1z, e2x, e2y, e2z),
+                    fid, hit, (ox, oy, oz, dx, dy, dz),
+                    (t_best, u_b, v_b, f_b))
             return t_best, u_b, v_b, f_b
 
         t_best, u_b, v_b, f_b = jax.lax.cond(
@@ -370,22 +384,7 @@ def pallas_ray_trace_streamed(tracer: Tracer, origins: jnp.ndarray,
     assert tracer.layout == "preorder", \
         "streamed traversal needs the preorder (SAH) node layout"
     assert tracer.leaf_size * 12 <= 128, "leaf row exceeds one 128-lane row"
-    origins = jax.lax.stop_gradient(origins)
-    dirs = jax.lax.stop_gradient(dirs)
-    B = origins.shape[0]
-    pad = (-B) % tile
-    if pad:
-        origins = jnp.concatenate([origins, jnp.zeros((pad, 3))], 0)
-        dirs = jnp.concatenate(
-            [dirs, jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0]),
-                                    (pad, 3))], 0)
-    nt = (B + pad) // tile
-    o = origins.reshape(nt, tile, 3)
-    d = dirs.reshape(nt, tile, 3)
-    rays = jnp.concatenate([
-        jnp.swapaxes(o, 1, 2), jnp.swapaxes(d, 1, 2),
-        jnp.zeros((nt, 2, tile)),
-    ], axis=1).reshape(nt * 8, tile)
+    rays, nt, B = _pack_rays(origins, dirs, tile)
 
     # 128-wide re-pack (Mosaic HBM DMA slices must be 128-lane aligned):
     # one node per row, one whole leaf per row; pad to whole windows
@@ -407,7 +406,6 @@ def pallas_ray_trace_streamed(tracer: Tracer, origins: jnp.ndarray,
         _kernel_streamed, leaf_size=tracer.leaf_size,
         n_nodes=tracer.n_nodes, node_win=node_win, tri_win=tri_win)
 
-    chunk_nt = max(1, max_rays_per_call // tile)
 
     def call(rays_chunk):
         n_in = rays_chunk.shape[0] // 8
@@ -430,29 +428,9 @@ def pallas_ray_trace_streamed(tracer: Tracer, origins: jnp.ndarray,
             interpret=interpret,
         )(rays_chunk, nodes, tris)
 
-    if nt <= chunk_nt:
-        out = call(rays)
-    else:
-        n_super = -(-nt // chunk_nt)
-        pad_t = n_super * chunk_nt - nt
-        rays = rays.reshape(nt, 8, tile)
-        if pad_t:
-            filler = jnp.zeros((pad_t, 8, tile), rays.dtype)
-            filler = filler.at[:, 5].set(1.0)
-            rays = jnp.concatenate([rays, filler], 0)
-        parts = [call(rays[s * chunk_nt:(s + 1) * chunk_nt].reshape(
-            chunk_nt * 8, tile)) for s in range(n_super)]
-        out = jnp.concatenate(
-            [p.reshape(chunk_nt, 8, tile) for p in parts], 0
-        )[:nt].reshape(nt * 8, tile)
+    out = _run_chunked(rays, nt, tile, max_rays_per_call, call)
 
-    out = out.reshape(nt, 8, tile)
-    t = out[:, 0].reshape(-1)[:B]
-    u = out[:, 1].reshape(-1)[:B]
-    v = out[:, 2].reshape(-1)[:B]
-    face = out[:, 3].reshape(-1)[:B].astype(jnp.int32)
-    valid = face >= 0
-    return t, u, v, face, valid
+    return _unpack_out(out, nt, tile, B)
 
 
 def _kernel_ordered(rays_ref, nodes_ref, tris_ref, out_ref, stack_ref, *,
@@ -466,19 +444,7 @@ def _kernel_ordered(rays_ref, nodes_ref, tris_ref, out_ref, stack_ref, *,
 
     stack_ref is SMEM (scalar memory allows dynamic indexing); requires a
     preorder tree (right sibling = left child's skip pointer)."""
-    ox = rays_ref[0:1, :]
-    oy = rays_ref[1:2, :]
-    oz = rays_ref[2:3, :]
-    dx = rays_ref[3:4, :]
-    dy = rays_ref[4:5, :]
-    dz = rays_ref[5:6, :]
-
-    def safe(v):
-        return jnp.where(jnp.abs(v) < 1e-12, 1e-12, v)
-
-    ix = 1.0 / safe(dx)
-    iy = 1.0 / safe(dy)
-    iz = 1.0 / safe(dz)
+    (ox, oy, oz, dx, dy, dz, ix, iy, iz) = _ray_ctx(rays_ref)
 
     def slab(nd, t_best):
         tx0 = (nd[0, 0] - ox) * ix
@@ -517,27 +483,10 @@ def _kernel_ordered(rays_ref, nodes_ref, tris_ref, out_ref, stack_ref, *,
                 e1x, e1y, e1z = row[0, 3], row[0, 4], row[0, 5]
                 e2x, e2y, e2z = row[0, 6], row[0, 7], row[0, 8]
                 fid = row[0, 9]
-                px = dy * e2z - dz * e2y
-                py = dz * e2x - dx * e2z
-                pz = dx * e2y - dy * e2x
-                det = e1x * px + e1y * py + e1z * pz
-                inv_det = jnp.where(jnp.abs(det) > _MT_EPS, 1.0 / det, 0.0)
-                tx = ox - v0x
-                ty = oy - v0y
-                tz = oz - v0z
-                u = (tx * px + ty * py + tz * pz) * inv_det
-                qx = ty * e1z - tz * e1y
-                qy = tz * e1x - tx * e1z
-                qz = tx * e1y - ty * e1x
-                v = (dx * qx + dy * qy + dz * qz) * inv_det
-                t = (e2x * qx + e2y * qy + e2z * qz) * inv_det
-                ok = ((jnp.abs(det) > _MT_EPS) & (u >= 0.0) & (v >= 0.0)
-                      & (u + v <= 1.0) & (t > 0.0) & (fid >= 0.0)
-                      & hit & (t < t_best))
-                t_best = jnp.where(ok, t, t_best)
-                u_b = jnp.where(ok, u, u_b)
-                v_b = jnp.where(ok, v, v_b)
-                f_b = jnp.where(ok, fid, f_b)
+                t_best, u_b, v_b, f_b = _mt_fold(
+                    (v0x, v0y, v0z, e1x, e1y, e1z, e2x, e2y, e2z),
+                    fid, hit, (ox, oy, oz, dx, dy, dz),
+                    (t_best, u_b, v_b, f_b))
             return t_best, u_b, v_b, f_b
 
         t_best, u_b, v_b, f_b = jax.lax.cond(
@@ -639,28 +588,12 @@ def pallas_ray_trace_ordered(tracer: Tracer, origins: jnp.ndarray,
     assert tracer.layout == "preorder", \
         "ordered traversal needs the preorder (SAH) node layout"
     stack_depth = _auto_stack_depth(tracer, stack_depth)
-    origins = jax.lax.stop_gradient(origins)
-    dirs = jax.lax.stop_gradient(dirs)
-    B = origins.shape[0]
-    pad = (-B) % tile
-    if pad:
-        origins = jnp.concatenate([origins, jnp.zeros((pad, 3))], 0)
-        dirs = jnp.concatenate(
-            [dirs, jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0]),
-                                    (pad, 3))], 0)
-    nt = (B + pad) // tile
-    o = origins.reshape(nt, tile, 3)
-    d = dirs.reshape(nt, tile, 3)
-    rays = jnp.concatenate([
-        jnp.swapaxes(o, 1, 2), jnp.swapaxes(d, 1, 2),
-        jnp.zeros((nt, 2, tile)),
-    ], axis=1).reshape(nt * 8, tile)
+    rays, nt, B = _pack_rays(origins, dirs, tile)
 
     kernel = functools.partial(_kernel_ordered, leaf_size=tracer.leaf_size,
                                n_nodes=tracer.n_nodes,
                                stack_depth=stack_depth)
 
-    chunk_nt = max(1, max_rays_per_call // tile)
 
     def call(rays_chunk):
         n_in = rays_chunk.shape[0] // 8
@@ -680,29 +613,9 @@ def pallas_ray_trace_ordered(tracer: Tracer, origins: jnp.ndarray,
             interpret=interpret,
         )(rays_chunk, tracer.nodes, tracer.tris)
 
-    if nt <= chunk_nt:
-        out = call(rays)
-    else:
-        n_super = -(-nt // chunk_nt)
-        pad_t = n_super * chunk_nt - nt
-        rays = rays.reshape(nt, 8, tile)
-        if pad_t:
-            filler = jnp.zeros((pad_t, 8, tile), rays.dtype)
-            filler = filler.at[:, 5].set(1.0)
-            rays = jnp.concatenate([rays, filler], 0)
-        parts = [call(rays[s * chunk_nt:(s + 1) * chunk_nt].reshape(
-            chunk_nt * 8, tile)) for s in range(n_super)]
-        out = jnp.concatenate(
-            [p.reshape(chunk_nt, 8, tile) for p in parts], 0
-        )[:nt].reshape(nt * 8, tile)
+    out = _run_chunked(rays, nt, tile, max_rays_per_call, call)
 
-    out = out.reshape(nt, 8, tile)
-    t = out[:, 0].reshape(-1)[:B]
-    u = out[:, 1].reshape(-1)[:B]
-    v = out[:, 2].reshape(-1)[:B]
-    face = out[:, 3].reshape(-1)[:B].astype(jnp.int32)
-    valid = face >= 0
-    return t, u, v, face, valid
+    return _unpack_out(out, nt, tile, B)
 
 
 def _pack_paired(tracer: Tracer, n_pairs: int, n_leaf_rows: int):
@@ -768,35 +681,9 @@ def _kernel_paired(rays_ref, pairs_ref, leaves_ref, out_ref, stack_ref, *,
     granularity), intersect leaf children in place, push internal
     children far-then-near. One dynamic VMEM read per pair, one per
     visited leaf."""
-    ox = rays_ref[0:1, :]
-    oy = rays_ref[1:2, :]
-    oz = rays_ref[2:3, :]
-    dx = rays_ref[3:4, :]
-    dy = rays_ref[4:5, :]
-    dz = rays_ref[5:6, :]
+    (ox, oy, oz, dx, dy, dz, ix, iy, iz) = _ray_ctx(rays_ref)
 
-    def safe(v):
-        return jnp.where(jnp.abs(v) < 1e-12, 1e-12, v)
-
-    ix = 1.0 / safe(dx)
-    iy = 1.0 / safe(dy)
-    iz = 1.0 / safe(dz)
-
-    def slab(n0, n1, n2, n3, n4, n5, t_best):
-        tx0 = (n0 - ox) * ix
-        tx1 = (n3 - ox) * ix
-        ty0 = (n1 - oy) * iy
-        ty1 = (n4 - oy) * iy
-        tz0 = (n2 - oz) * iz
-        tz1 = (n5 - oz) * iz
-        tlo = jnp.maximum(jnp.maximum(jnp.minimum(tx0, tx1),
-                                      jnp.minimum(ty0, ty1)),
-                          jnp.minimum(tz0, tz1))
-        thi = jnp.minimum(jnp.minimum(jnp.maximum(tx0, tx1),
-                                      jnp.maximum(ty0, ty1)),
-                          jnp.maximum(tz0, tz1))
-        hit = (thi >= jnp.maximum(tlo, 0.0)) & (tlo <= t_best)
-        return hit, tlo
+    slab = _make_slab(ox, oy, oz, ix, iy, iz, with_tlo=True)
 
     def leaf_hits(lrow, hit, args):
         t_best, u_b, v_b, f_b = args
@@ -807,27 +694,10 @@ def _kernel_paired(rays_ref, pairs_ref, leaves_ref, out_ref, stack_ref, *,
             e1x, e1y, e1z = lf[0, c + 3], lf[0, c + 4], lf[0, c + 5]
             e2x, e2y, e2z = lf[0, c + 6], lf[0, c + 7], lf[0, c + 8]
             fid = lf[0, c + 9]
-            px = dy * e2z - dz * e2y
-            py = dz * e2x - dx * e2z
-            pz = dx * e2y - dy * e2x
-            det = e1x * px + e1y * py + e1z * pz
-            inv_det = jnp.where(jnp.abs(det) > _MT_EPS, 1.0 / det, 0.0)
-            tx = ox - v0x
-            ty = oy - v0y
-            tz = oz - v0z
-            u = (tx * px + ty * py + tz * pz) * inv_det
-            qx = ty * e1z - tz * e1y
-            qy = tz * e1x - tx * e1z
-            qz = tx * e1y - ty * e1x
-            v = (dx * qx + dy * qy + dz * qz) * inv_det
-            t = (e2x * qx + e2y * qy + e2z * qz) * inv_det
-            ok = ((jnp.abs(det) > _MT_EPS) & (u >= 0.0) & (v >= 0.0)
-                  & (u + v <= 1.0) & (t > 0.0) & (fid >= 0.0)
-                  & hit & (t < t_best))
-            t_best = jnp.where(ok, t, t_best)
-            u_b = jnp.where(ok, u, u_b)
-            v_b = jnp.where(ok, v, v_b)
-            f_b = jnp.where(ok, fid, f_b)
+            t_best, u_b, v_b, f_b = _mt_fold(
+                (v0x, v0y, v0z, e1x, e1y, e1z, e2x, e2y, e2z),
+                fid, hit, (ox, oy, oz, dx, dy, dz),
+                (t_best, u_b, v_b, f_b))
         return t_best, u_b, v_b, f_b
 
     def body(state):
@@ -925,22 +795,7 @@ def pallas_ray_trace_paired(tracer: Tracer, origins: jnp.ndarray,
     assert tracer.leaf_size * 12 <= 128, "leaf row exceeds one 128-lane row"
     assert tracer.n_nodes > 1, "paired traversal needs an internal root"
     stack_depth = _auto_stack_depth(tracer, stack_depth)
-    origins = jax.lax.stop_gradient(origins)
-    dirs = jax.lax.stop_gradient(dirs)
-    B = origins.shape[0]
-    pad = (-B) % tile
-    if pad:
-        origins = jnp.concatenate([origins, jnp.zeros((pad, 3))], 0)
-        dirs = jnp.concatenate(
-            [dirs, jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0]),
-                                    (pad, 3))], 0)
-    nt = (B + pad) // tile
-    o = origins.reshape(nt, tile, 3)
-    d = dirs.reshape(nt, tile, 3)
-    rays = jnp.concatenate([
-        jnp.swapaxes(o, 1, 2), jnp.swapaxes(d, 1, 2),
-        jnp.zeros((nt, 2, tile)),
-    ], axis=1).reshape(nt * 8, tile)
+    rays, nt, B = _pack_rays(origins, dirs, tile)
 
     L = tracer.leaf_size
     n_leaf_rows = tracer.tris.shape[0] // L
@@ -951,7 +806,6 @@ def pallas_ray_trace_paired(tracer: Tracer, origins: jnp.ndarray,
         _kernel_paired, leaf_size=L, n_pairs=n_pairs,
         n_leaf_rows=n_leaf_rows, stack_depth=stack_depth)
 
-    chunk_nt = max(1, max_rays_per_call // tile)
 
     def call(rays_chunk):
         n_in = rays_chunk.shape[0] // 8
@@ -971,29 +825,9 @@ def pallas_ray_trace_paired(tracer: Tracer, origins: jnp.ndarray,
             interpret=interpret,
         )(rays_chunk, pairs, leaves)
 
-    if nt <= chunk_nt:
-        out = call(rays)
-    else:
-        n_super = -(-nt // chunk_nt)
-        pad_t = n_super * chunk_nt - nt
-        rays = rays.reshape(nt, 8, tile)
-        if pad_t:
-            filler = jnp.zeros((pad_t, 8, tile), rays.dtype)
-            filler = filler.at[:, 5].set(1.0)
-            rays = jnp.concatenate([rays, filler], 0)
-        parts = [call(rays[s * chunk_nt:(s + 1) * chunk_nt].reshape(
-            chunk_nt * 8, tile)) for s in range(n_super)]
-        out = jnp.concatenate(
-            [p.reshape(chunk_nt, 8, tile) for p in parts], 0
-        )[:nt].reshape(nt * 8, tile)
+    out = _run_chunked(rays, nt, tile, max_rays_per_call, call)
 
-    out = out.reshape(nt, 8, tile)
-    t = out[:, 0].reshape(-1)[:B]
-    u = out[:, 1].reshape(-1)[:B]
-    v = out[:, 2].reshape(-1)[:B]
-    face = out[:, 3].reshape(-1)[:B].astype(jnp.int32)
-    valid = face >= 0
-    return t, u, v, face, valid
+    return _unpack_out(out, nt, tile, B)
 
 
 def _kernel_paired_streamed(rays_ref, pairs_hbm, leaves_hbm, out_ref,
@@ -1012,35 +846,9 @@ def _kernel_paired_streamed(rays_ref, pairs_hbm, leaves_hbm, out_ref,
     window motion mostly ascending but NOT monotone; windows reload on
     any change (correct either way; a reload is ~2 us against ~100 us of
     compute per window of visits)."""
-    ox = rays_ref[0:1, :]
-    oy = rays_ref[1:2, :]
-    oz = rays_ref[2:3, :]
-    dx = rays_ref[3:4, :]
-    dy = rays_ref[4:5, :]
-    dz = rays_ref[5:6, :]
+    (ox, oy, oz, dx, dy, dz, ix, iy, iz) = _ray_ctx(rays_ref)
 
-    def safe(v):
-        return jnp.where(jnp.abs(v) < 1e-12, 1e-12, v)
-
-    ix = 1.0 / safe(dx)
-    iy = 1.0 / safe(dy)
-    iz = 1.0 / safe(dz)
-
-    def slab(n0, n1, n2, n3, n4, n5, t_best):
-        tx0 = (n0 - ox) * ix
-        tx1 = (n3 - ox) * ix
-        ty0 = (n1 - oy) * iy
-        ty1 = (n4 - oy) * iy
-        tz0 = (n2 - oz) * iz
-        tz1 = (n5 - oz) * iz
-        tlo = jnp.maximum(jnp.maximum(jnp.minimum(tx0, tx1),
-                                      jnp.minimum(ty0, ty1)),
-                          jnp.minimum(tz0, tz1))
-        thi = jnp.minimum(jnp.minimum(jnp.maximum(tx0, tx1),
-                                      jnp.maximum(ty0, ty1)),
-                          jnp.maximum(tz0, tz1))
-        hit = (thi >= jnp.maximum(tlo, 0.0)) & (tlo <= t_best)
-        return hit, tlo
+    slab = _make_slab(ox, oy, oz, ix, iy, iz, with_tlo=True)
 
     def leaf_hits(local, hit, args):
         t_best, u_b, v_b, f_b = args
@@ -1051,27 +859,10 @@ def _kernel_paired_streamed(rays_ref, pairs_hbm, leaves_hbm, out_ref,
             e1x, e1y, e1z = lf[0, c + 3], lf[0, c + 4], lf[0, c + 5]
             e2x, e2y, e2z = lf[0, c + 6], lf[0, c + 7], lf[0, c + 8]
             fid = lf[0, c + 9]
-            px = dy * e2z - dz * e2y
-            py = dz * e2x - dx * e2z
-            pz = dx * e2y - dy * e2x
-            det = e1x * px + e1y * py + e1z * pz
-            inv_det = jnp.where(jnp.abs(det) > _MT_EPS, 1.0 / det, 0.0)
-            tx = ox - v0x
-            ty = oy - v0y
-            tz = oz - v0z
-            u = (tx * px + ty * py + tz * pz) * inv_det
-            qx = ty * e1z - tz * e1y
-            qy = tz * e1x - tx * e1z
-            qz = tx * e1y - ty * e1x
-            v = (dx * qx + dy * qy + dz * qz) * inv_det
-            t = (e2x * qx + e2y * qy + e2z * qz) * inv_det
-            ok = ((jnp.abs(det) > _MT_EPS) & (u >= 0.0) & (v >= 0.0)
-                  & (u + v <= 1.0) & (t > 0.0) & (fid >= 0.0)
-                  & hit & (t < t_best))
-            t_best = jnp.where(ok, t, t_best)
-            u_b = jnp.where(ok, u, u_b)
-            v_b = jnp.where(ok, v, v_b)
-            f_b = jnp.where(ok, fid, f_b)
+            t_best, u_b, v_b, f_b = _mt_fold(
+                (v0x, v0y, v0z, e1x, e1y, e1z, e2x, e2y, e2z),
+                fid, hit, (ox, oy, oz, dx, dy, dz),
+                (t_best, u_b, v_b, f_b))
         return t_best, u_b, v_b, f_b
 
     def body(state):
@@ -1211,22 +1002,7 @@ def pallas_ray_trace_paired_streamed(tracer: Tracer, origins: jnp.ndarray,
     assert tracer.leaf_size * 12 <= 128, "leaf row exceeds one 128-lane row"
     assert tracer.n_nodes > 1, "paired traversal needs an internal root"
     stack_depth = _auto_stack_depth(tracer, stack_depth)
-    origins = jax.lax.stop_gradient(origins)
-    dirs = jax.lax.stop_gradient(dirs)
-    B = origins.shape[0]
-    pad = (-B) % tile
-    if pad:
-        origins = jnp.concatenate([origins, jnp.zeros((pad, 3))], 0)
-        dirs = jnp.concatenate(
-            [dirs, jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0]),
-                                    (pad, 3))], 0)
-    nt = (B + pad) // tile
-    o = origins.reshape(nt, tile, 3)
-    d = dirs.reshape(nt, tile, 3)
-    rays = jnp.concatenate([
-        jnp.swapaxes(o, 1, 2), jnp.swapaxes(d, 1, 2),
-        jnp.zeros((nt, 2, tile)),
-    ], axis=1).reshape(nt * 8, tile)
+    rays, nt, B = _pack_rays(origins, dirs, tile)
 
     L = tracer.leaf_size
     n_leaf_rows = tracer.tris.shape[0] // L
@@ -1241,7 +1017,6 @@ def pallas_ray_trace_paired_streamed(tracer: Tracer, origins: jnp.ndarray,
         n_leaf_rows=n_leaf_rows, stack_depth=stack_depth,
         pair_win=pair_win, leaf_win=leaf_win)
 
-    chunk_nt = max(1, max_rays_per_call // tile)
 
     def call(rays_chunk):
         n_in = rays_chunk.shape[0] // 8
@@ -1265,29 +1040,9 @@ def pallas_ray_trace_paired_streamed(tracer: Tracer, origins: jnp.ndarray,
             interpret=interpret,
         )(rays_chunk, pairs, leaves)
 
-    if nt <= chunk_nt:
-        out = call(rays)
-    else:
-        n_super = -(-nt // chunk_nt)
-        pad_t = n_super * chunk_nt - nt
-        rays = rays.reshape(nt, 8, tile)
-        if pad_t:
-            filler = jnp.zeros((pad_t, 8, tile), rays.dtype)
-            filler = filler.at[:, 5].set(1.0)
-            rays = jnp.concatenate([rays, filler], 0)
-        parts = [call(rays[s * chunk_nt:(s + 1) * chunk_nt].reshape(
-            chunk_nt * 8, tile)) for s in range(n_super)]
-        out = jnp.concatenate(
-            [p.reshape(chunk_nt, 8, tile) for p in parts], 0
-        )[:nt].reshape(nt * 8, tile)
+    out = _run_chunked(rays, nt, tile, max_rays_per_call, call)
 
-    out = out.reshape(nt, 8, tile)
-    t = out[:, 0].reshape(-1)[:B]
-    u = out[:, 1].reshape(-1)[:B]
-    v = out[:, 2].reshape(-1)[:B]
-    face = out[:, 3].reshape(-1)[:B].astype(jnp.int32)
-    valid = face >= 0
-    return t, u, v, face, valid
+    return _unpack_out(out, nt, tile, B)
 
 
 # ----------------------------------------------------------- dense layout
@@ -1353,35 +1108,9 @@ def _kernel_dense(rays_ref, pairs_ref, leaves_ref, out_ref, stack_ref, *,
     static slots and scalar-selecting on the slot id (no dynamic lane
     indexing). The scalar-core select overhead is negligible next to the
     (1, tile) VPU slab/intersection math."""
-    ox = rays_ref[0:1, :]
-    oy = rays_ref[1:2, :]
-    oz = rays_ref[2:3, :]
-    dx = rays_ref[3:4, :]
-    dy = rays_ref[4:5, :]
-    dz = rays_ref[5:6, :]
+    (ox, oy, oz, dx, dy, dz, ix, iy, iz) = _ray_ctx(rays_ref)
 
-    def safe(v):
-        return jnp.where(jnp.abs(v) < 1e-12, 1e-12, v)
-
-    ix = 1.0 / safe(dx)
-    iy = 1.0 / safe(dy)
-    iz = 1.0 / safe(dz)
-
-    def slab(n0, n1, n2, n3, n4, n5, t_best):
-        tx0 = (n0 - ox) * ix
-        tx1 = (n3 - ox) * ix
-        ty0 = (n1 - oy) * iy
-        ty1 = (n4 - oy) * iy
-        tz0 = (n2 - oz) * iz
-        tz1 = (n5 - oz) * iz
-        tlo = jnp.maximum(jnp.maximum(jnp.minimum(tx0, tx1),
-                                      jnp.minimum(ty0, ty1)),
-                          jnp.minimum(tz0, tz1))
-        thi = jnp.minimum(jnp.minimum(jnp.maximum(tx0, tx1),
-                                      jnp.maximum(ty0, ty1)),
-                          jnp.maximum(tz0, tz1))
-        hit = (thi >= jnp.maximum(tlo, 0.0)) & (tlo <= t_best)
-        return hit, tlo
+    slab = _make_slab(ox, oy, oz, ix, iy, iz, with_tlo=True)
 
     def slot_scalar(row, slot, lanes, n_slots, width):
         """row[0, slot*width + k] for k in lanes, slot dynamic: read every
@@ -1403,27 +1132,10 @@ def _kernel_dense(rays_ref, pairs_ref, leaves_ref, out_ref, stack_ref, *,
             c = k * 12
             (v0x, v0y, v0z, e1x, e1y, e1z, e2x, e2y, e2z,
              fid) = slot_scalar(row, slot, range(c, c + 10), LEAF_PACK, 64)
-            px = dy * e2z - dz * e2y
-            py = dz * e2x - dx * e2z
-            pz = dx * e2y - dy * e2x
-            det = e1x * px + e1y * py + e1z * pz
-            inv_det = jnp.where(jnp.abs(det) > _MT_EPS, 1.0 / det, 0.0)
-            tx = ox - v0x
-            ty = oy - v0y
-            tz = oz - v0z
-            u = (tx * px + ty * py + tz * pz) * inv_det
-            qx = ty * e1z - tz * e1y
-            qy = tz * e1x - tx * e1z
-            qz = tx * e1y - ty * e1x
-            v = (dx * qx + dy * qy + dz * qz) * inv_det
-            t = (e2x * qx + e2y * qy + e2z * qz) * inv_det
-            ok = ((jnp.abs(det) > _MT_EPS) & (u >= 0.0) & (v >= 0.0)
-                  & (u + v <= 1.0) & (t > 0.0) & (fid >= 0.0)
-                  & hit & (t < t_best))
-            t_best = jnp.where(ok, t, t_best)
-            u_b = jnp.where(ok, u, u_b)
-            v_b = jnp.where(ok, v, v_b)
-            f_b = jnp.where(ok, fid, f_b)
+            t_best, u_b, v_b, f_b = _mt_fold(
+                (v0x, v0y, v0z, e1x, e1y, e1z, e2x, e2y, e2z),
+                fid, hit, (ox, oy, oz, dx, dy, dz),
+                (t_best, u_b, v_b, f_b))
         return t_best, u_b, v_b, f_b
 
     def body(state):
@@ -1521,22 +1233,7 @@ def pallas_ray_trace_dense(tracer: Tracer, origins: jnp.ndarray,
     assert tracer.leaf_size * 12 <= 64, "leaf exceeds its 64-lane slot"
     assert tracer.n_nodes > 1, "dense traversal needs an internal root"
     stack_depth = _auto_stack_depth(tracer, stack_depth)
-    origins = jax.lax.stop_gradient(origins)
-    dirs = jax.lax.stop_gradient(dirs)
-    B = origins.shape[0]
-    pad = (-B) % tile
-    if pad:
-        origins = jnp.concatenate([origins, jnp.zeros((pad, 3))], 0)
-        dirs = jnp.concatenate(
-            [dirs, jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0]),
-                                    (pad, 3))], 0)
-    nt = (B + pad) // tile
-    o = origins.reshape(nt, tile, 3)
-    d = dirs.reshape(nt, tile, 3)
-    rays = jnp.concatenate([
-        jnp.swapaxes(o, 1, 2), jnp.swapaxes(d, 1, 2),
-        jnp.zeros((nt, 2, tile)),
-    ], axis=1).reshape(nt * 8, tile)
+    rays, nt, B = _pack_rays(origins, dirs, tile)
 
     L = tracer.leaf_size
     n_leaf_rows = tracer.tris.shape[0] // L
@@ -1547,7 +1244,6 @@ def pallas_ray_trace_dense(tracer: Tracer, origins: jnp.ndarray,
         _kernel_dense, leaf_size=L, n_pairs=n_pairs,
         n_leaf_rows=n_leaf_rows, stack_depth=stack_depth)
 
-    chunk_nt = max(1, max_rays_per_call // tile)
 
     def call(rays_chunk):
         n_in = rays_chunk.shape[0] // 8
@@ -1567,29 +1263,9 @@ def pallas_ray_trace_dense(tracer: Tracer, origins: jnp.ndarray,
             interpret=interpret,
         )(rays_chunk, pairs, leaves)
 
-    if nt <= chunk_nt:
-        out = call(rays)
-    else:
-        n_super = -(-nt // chunk_nt)
-        pad_t = n_super * chunk_nt - nt
-        rays = rays.reshape(nt, 8, tile)
-        if pad_t:
-            filler = jnp.zeros((pad_t, 8, tile), rays.dtype)
-            filler = filler.at[:, 5].set(1.0)
-            rays = jnp.concatenate([rays, filler], 0)
-        parts = [call(rays[s * chunk_nt:(s + 1) * chunk_nt].reshape(
-            chunk_nt * 8, tile)) for s in range(n_super)]
-        out = jnp.concatenate(
-            [p.reshape(chunk_nt, 8, tile) for p in parts], 0
-        )[:nt].reshape(nt * 8, tile)
+    out = _run_chunked(rays, nt, tile, max_rays_per_call, call)
 
-    out = out.reshape(nt, 8, tile)
-    t = out[:, 0].reshape(-1)[:B]
-    u = out[:, 1].reshape(-1)[:B]
-    v = out[:, 2].reshape(-1)[:B]
-    face = out[:, 3].reshape(-1)[:B].astype(jnp.int32)
-    valid = face >= 0
-    return t, u, v, face, valid
+    return _unpack_out(out, nt, tile, B)
 
 
 def _kernel_dense_streamed(rays_ref, pairs_hbm, leaves_hbm, out_ref,
@@ -1608,35 +1284,9 @@ def _kernel_dense_streamed(rays_ref, pairs_hbm, leaves_hbm, out_ref,
     incoherent case, PERF.md round-3e's honest remainder). Traversal and
     slot extraction are identical to _kernel_dense; window machinery is
     identical to _kernel_paired_streamed."""
-    ox = rays_ref[0:1, :]
-    oy = rays_ref[1:2, :]
-    oz = rays_ref[2:3, :]
-    dx = rays_ref[3:4, :]
-    dy = rays_ref[4:5, :]
-    dz = rays_ref[5:6, :]
+    (ox, oy, oz, dx, dy, dz, ix, iy, iz) = _ray_ctx(rays_ref)
 
-    def safe(v):
-        return jnp.where(jnp.abs(v) < 1e-12, 1e-12, v)
-
-    ix = 1.0 / safe(dx)
-    iy = 1.0 / safe(dy)
-    iz = 1.0 / safe(dz)
-
-    def slab(n0, n1, n2, n3, n4, n5, t_best):
-        tx0 = (n0 - ox) * ix
-        tx1 = (n3 - ox) * ix
-        ty0 = (n1 - oy) * iy
-        ty1 = (n4 - oy) * iy
-        tz0 = (n2 - oz) * iz
-        tz1 = (n5 - oz) * iz
-        tlo = jnp.maximum(jnp.maximum(jnp.minimum(tx0, tx1),
-                                      jnp.minimum(ty0, ty1)),
-                          jnp.minimum(tz0, tz1))
-        thi = jnp.minimum(jnp.minimum(jnp.maximum(tx0, tx1),
-                                      jnp.maximum(ty0, ty1)),
-                          jnp.maximum(tz0, tz1))
-        hit = (thi >= jnp.maximum(tlo, 0.0)) & (tlo <= t_best)
-        return hit, tlo
+    slab = _make_slab(ox, oy, oz, ix, iy, iz, with_tlo=True)
 
     def slot_scalar(row, slot, lanes, n_slots, width):
         outs = []
@@ -1654,27 +1304,10 @@ def _kernel_dense_streamed(rays_ref, pairs_hbm, leaves_hbm, out_ref,
             c = k * 12
             (v0x, v0y, v0z, e1x, e1y, e1z, e2x, e2y, e2z,
              fid) = slot_scalar(row, slot, range(c, c + 10), LEAF_PACK, 64)
-            px = dy * e2z - dz * e2y
-            py = dz * e2x - dx * e2z
-            pz = dx * e2y - dy * e2x
-            det = e1x * px + e1y * py + e1z * pz
-            inv_det = jnp.where(jnp.abs(det) > _MT_EPS, 1.0 / det, 0.0)
-            tx = ox - v0x
-            ty = oy - v0y
-            tz = oz - v0z
-            u = (tx * px + ty * py + tz * pz) * inv_det
-            qx = ty * e1z - tz * e1y
-            qy = tz * e1x - tx * e1z
-            qz = tx * e1y - ty * e1x
-            v = (dx * qx + dy * qy + dz * qz) * inv_det
-            t = (e2x * qx + e2y * qy + e2z * qz) * inv_det
-            ok = ((jnp.abs(det) > _MT_EPS) & (u >= 0.0) & (v >= 0.0)
-                  & (u + v <= 1.0) & (t > 0.0) & (fid >= 0.0)
-                  & hit & (t < t_best))
-            t_best = jnp.where(ok, t, t_best)
-            u_b = jnp.where(ok, u, u_b)
-            v_b = jnp.where(ok, v, v_b)
-            f_b = jnp.where(ok, fid, f_b)
+            t_best, u_b, v_b, f_b = _mt_fold(
+                (v0x, v0y, v0z, e1x, e1y, e1z, e2x, e2y, e2z),
+                fid, hit, (ox, oy, oz, dx, dy, dz),
+                (t_best, u_b, v_b, f_b))
         return t_best, u_b, v_b, f_b
 
     def body(state):
@@ -1819,22 +1452,7 @@ def pallas_ray_trace_dense_streamed(tracer: Tracer, origins: jnp.ndarray,
     assert tracer.leaf_size * 12 <= 64, "leaf exceeds its 64-lane slot"
     assert tracer.n_nodes > 1, "dense traversal needs an internal root"
     stack_depth = _auto_stack_depth(tracer, stack_depth)
-    origins = jax.lax.stop_gradient(origins)
-    dirs = jax.lax.stop_gradient(dirs)
-    B = origins.shape[0]
-    pad = (-B) % tile
-    if pad:
-        origins = jnp.concatenate([origins, jnp.zeros((pad, 3))], 0)
-        dirs = jnp.concatenate(
-            [dirs, jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0]),
-                                    (pad, 3))], 0)
-    nt = (B + pad) // tile
-    o = origins.reshape(nt, tile, 3)
-    d = dirs.reshape(nt, tile, 3)
-    rays = jnp.concatenate([
-        jnp.swapaxes(o, 1, 2), jnp.swapaxes(d, 1, 2),
-        jnp.zeros((nt, 2, tile)),
-    ], axis=1).reshape(nt * 8, tile)
+    rays, nt, B = _pack_rays(origins, dirs, tile)
 
     L = tracer.leaf_size
     n_leaf_rows = tracer.tris.shape[0] // L
@@ -1849,7 +1467,6 @@ def pallas_ray_trace_dense_streamed(tracer: Tracer, origins: jnp.ndarray,
         n_leaf_rows=n_leaf_rows, stack_depth=stack_depth,
         pair_win=pair_win, leaf_win=leaf_win)
 
-    chunk_nt = max(1, max_rays_per_call // tile)
 
     def call(rays_chunk):
         n_in = rays_chunk.shape[0] // 8
@@ -1873,29 +1490,9 @@ def pallas_ray_trace_dense_streamed(tracer: Tracer, origins: jnp.ndarray,
             interpret=interpret,
         )(rays_chunk, pairs, leaves)
 
-    if nt <= chunk_nt:
-        out = call(rays)
-    else:
-        n_super = -(-nt // chunk_nt)
-        pad_t = n_super * chunk_nt - nt
-        rays = rays.reshape(nt, 8, tile)
-        if pad_t:
-            filler = jnp.zeros((pad_t, 8, tile), rays.dtype)
-            filler = filler.at[:, 5].set(1.0)
-            rays = jnp.concatenate([rays, filler], 0)
-        parts = [call(rays[s * chunk_nt:(s + 1) * chunk_nt].reshape(
-            chunk_nt * 8, tile)) for s in range(n_super)]
-        out = jnp.concatenate(
-            [p.reshape(chunk_nt, 8, tile) for p in parts], 0
-        )[:nt].reshape(nt * 8, tile)
+    out = _run_chunked(rays, nt, tile, max_rays_per_call, call)
 
-    out = out.reshape(nt, 8, tile)
-    t = out[:, 0].reshape(-1)[:B]
-    u = out[:, 1].reshape(-1)[:B]
-    v = out[:, 2].reshape(-1)[:B]
-    face = out[:, 3].reshape(-1)[:B].astype(jnp.int32)
-    valid = face >= 0
-    return t, u, v, face, valid
+    return _unpack_out(out, nt, tile, B)
 
 
 def dense_vmem_bytes(tracer: Tracer) -> int:
