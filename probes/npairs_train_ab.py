@@ -47,7 +47,7 @@ def run_arm(root: str, out: str, n_pairs: int) -> dict:
         "--checkpoint_path", ck,
         "--hash_levels", "8", "--log2_hashmap_size", "13",
         "--max_segments", "16", "--batch_size", "1024",
-        "--has_part", "1", "--n_pairs", str(n_pairs),
+        "--has_part", "0", "--n_pairs", str(n_pairs),
     ]
     initialize.main(train_common + [
         "--experiment_name", "init", "--SPP", "4", "--spp", "4",
