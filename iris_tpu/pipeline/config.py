@@ -90,12 +90,14 @@ default_options = {
     "fwd_level_sample": {"type": int, "default": 0},
     "max_segments": {"type": int, "default": 128},
     # within-segment partner samples of the semantic propagation loss
-    # (train/steps.py propagation_loss). The reference draws 1024
-    # (train_brdf_crf.py:249); the fixed-shape estimator's MC error at
-    # 256 is already far below the loss's effect size (measured receipt:
-    # PERF.md round-4), so 256 is the default — --n_pairs 1024 restores
-    # the reference sample count exactly.
-    "n_pairs": {"type": int, "default": 256},
+    # (train/steps.py propagation_loss). Default = the reference's 1024
+    # (train_brdf_crf.py:249): the round-4 receipts show 256 is a real
+    # estimator downgrade (grad cosine 0.69 vs 0.88 against a 16384-pair
+    # reference; miniature training A/B: albedo corr [.70,.70,.00] vs
+    # [.71,.73,.05] and +1.3% final loss — PERF.md round-4e). --n_pairs
+    # 256 is the documented perf dial (~4x fewer partner gathers in the
+    # semantic-branch brdf steps).
+    "n_pairs": {"type": int, "default": 1024},
     # periodic full-state checkpoint cadence (steps) for kill-and-resume
     "save_every": {"type": int, "default": 1000},
     # optimizer steps per dispatch: run this many steps inside one jitted

@@ -51,10 +51,12 @@ class LossConfig:
     l_crf_weight: float = 0.001
     max_segments: int = 128        # static segment-id bound
     has_part: bool = True
-    n_pairs: int = 256             # within-segment partner samples for the
-                                   # semantic propagation loss (reference
-                                   # uses 1024; 256 keeps the estimator
-                                   # variance low at fixed-shape cost)
+    n_pairs: int = 1024            # within-segment partner samples for the
+                                   # semantic propagation loss — reference
+                                   # parity (train_brdf_crf.py:249). 256 is
+                                   # measurably noisier (grad cos 0.69 vs
+                                   # 0.88; PERF.md round-4e) and is the
+                                   # opt-in perf dial, not the default.
     radiance_log_space: bool = False  # opt-in: train softplus^-1(radiance)
                                    # so Adam moves radiance multiplicatively
                                    # (raw radiance crawls at ~lr/step from a
