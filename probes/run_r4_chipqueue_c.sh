@@ -19,16 +19,15 @@ while pgrep -f "run_scale_demo.sh" > /dev/null 2>&1; do
 done
 echo "=== record A finished $(date +%H:%M:%S) ==="
 tail -3 records/scale_r4a.log
-sleep 180   # gap between TPU client exits (TODO.md round-3b incident)
-
-ROWMODE_ARMS=8x8,4x16 python probes/rowmode_probe.py \
-  > records/rowmode4x16_r4b.log 2>&1
-echo "=== rowmode retry done $(date +%H:%M:%S) ==="
-grep -a train_step records/rowmode4x16_r4b.log || true
-sleep 180
+sleep 300   # generous gap between TPU client exits (round-4 hangs came
+            # from launching too soon after a client exit)
 
 echo "=== record B start $(date +%H:%M:%S) ==="
-ROOT=workdir_scene_xl EXP=tpu_r4b N_TRAIN=32 N_CLUTTER=2000 GEN_SPP=128 \
+# 24 frames x GEN_SPP 128 = 3x the r4a/r3d effective sample budget —
+# sized to finish inside the round window (the correlation receipts come
+# from checkpoints via probes/scale_shuffle_check.py, so a late kill
+# after brdf1 still yields the identifiability result)
+ROOT=workdir_scene_xl EXP=tpu_r4b N_TRAIN=24 N_CLUTTER=2000 GEN_SPP=128 \
   RENDER_FRAMES=8 bash scripts/run_scale_demo.sh > records/scale_r4b.log 2>&1
 echo "=== record B done $(date +%H:%M:%S) ==="
 tail -5 records/scale_r4b.log
