@@ -435,3 +435,46 @@ def crf_forward(weight, f0, basis, hdr, exposure):
         frac = xi - i0
         ldr.append(crf[i, i0] * (1.0 - frac) + crf[i, i0 + 1] * frac)
     return np.stack(ldr, -1)
+
+# ------------------------------------------- EmorCRF inverse (:22-30, :45-56, :89-108)
+
+def mono_increase_constraint(crf):
+    """crf/model_crf.py:22-30: shift finite differences by the most
+    negative one, renormalize to sum 1, cumsum, prepend 0."""
+    diff = crf[1:] - crf[:-1]
+    dmin = diff.min()
+    gap = -dmin if dmin < 0 else 0.0
+    diff = diff + gap
+    diff = diff / diff.sum()
+    out = np.cumsum(diff)
+    return np.concatenate([np.zeros(1), out])
+
+
+def _interp_nonuniform(q, xp, fp):
+    """Linear interp of fp at knots xp (ascending), queried at q, clamped
+    at the ends — RegularGridInterpolator([xp], fp)([q]) semantics."""
+    i1 = np.clip(np.searchsorted(xp, q), 1, len(xp) - 1)
+    x0, x1 = xp[i1 - 1], xp[i1]
+    f0, f1 = fp[i1 - 1], fp[i1]
+    w = np.where(x1 > x0, (q - x0) / np.where(x1 > x0, x1 - x0, 1.0), 0.0)
+    w = np.clip(w, 0.0, 1.0)
+    return f0 * (1.0 - w) + f1 * w
+
+
+def crf_inverse(weight, f0, basis, ldr, exposure):
+    """crf/model_crf.py:45-56 (get_inv_crf) + :89-108 (inverse): mono-
+    project each channel curve, tabulate its inverse on the uniform grid,
+    then linearly interpolate the queries."""
+    ldr = np.clip(ldr, 0.0, 1.0)
+    crf = f0[None] + weight @ basis
+    n = crf.shape[1]
+    x = np.linspace(0.0, 1.0, n)
+    hdr = []
+    for i in range(3):
+        c_mono = mono_increase_constraint(crf[i])
+        inv_tab = _interp_nonuniform(x, c_mono, x)    # get_inv_crf row
+        xi = ldr[:, i] * (n - 1)                       # uniform-grid interp
+        i0 = np.clip(np.floor(xi).astype(np.int64), 0, n - 2)
+        frac = xi - i0
+        hdr.append(inv_tab[i0] * (1.0 - frac) + inv_tab[i0 + 1] * frac)
+    return np.stack(hdr, -1) / exposure

@@ -285,3 +285,28 @@ def test_grads_allclose(setup):
             err_msg=f"gradient mismatch vs reference semantics: {name}")
         # the test is vacuous if a gradient never flows
         assert np.abs(fd).max() > 0, f"zero oracle gradient for {name}"
+
+
+def test_crf_inverse_allclose(setup):
+    """Inverse CRF path: mono-projection + non-uniform inverse tabulation
+    + query interp (reference get_inv_crf/inverse, model_crf.py:45-108).
+    Uses a deliberately NON-monotone weighted curve so the projection
+    branch is exercised."""
+    s = setup
+    w = np.asarray([[0.5, -1.2, 0.9],
+                    [0.2, 0.8, -1.1],
+                    [-0.6, 0.4, 0.7]])   # strong: makes diffs negative
+    rng = np.random.default_rng(3)
+    ldr = rng.uniform(0.0, 1.0, (257, 3))
+    ldr[0] = 0.0
+    ldr[1] = 1.0                 # edge queries
+    hdr_oracle = O.crf_inverse(w, s["f0"], s["basis"], ldr, 1.0)
+
+    from iris_tpu.models.crf import crf_inverse, get_crf
+    crf2 = replace(s["crf"], weight=jnp.asarray(w, jnp.float32))
+    # precondition for the test to bite: the raw curve must be non-monotone
+    curves = np.asarray(get_crf(crf2))
+    assert (np.diff(curves, axis=1) < 0).any()
+    hdr_mine = np.asarray(crf_inverse(crf2, jnp.asarray(ldr, jnp.float32),
+                                      1.0), np.float64)
+    np.testing.assert_allclose(hdr_mine, hdr_oracle, rtol=2e-3, atol=2e-3)
