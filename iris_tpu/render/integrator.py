@@ -213,23 +213,28 @@ def path_tracing_single(
 def trace_indirect(
     key, tracer: Tracer, em: Emitter, mat_fn: MatFn,
     position, wo, normal, active, indir_depth: int,
+    samples: dict | None = None,
 ):
     """No-grad multi-bounce indirect tail (reference :409-502).
 
     lax.scan over depth with masked fixed-shape state; the radiance cache
     (trace_roughness default 0.6) terminates lanes as in the reference.
+
+    `samples` (CRN test hook): per-depth stacked draws — 's1' (D, n),
+    's2' (D, n, 2), 's1b', 's2b' — consumed in place of the key stream.
     """
     n = position.shape[0]
     mat0 = mat_fn(position)
     throughput = jnp.ones((n, 3))
     l0 = jnp.zeros((n, 3))
 
-    def body(state, k):
+    def body(state, xs):
+        k, smp = xs
         position, wo, normal, mat, throughput, active, l = state
         (nee, bounce, pos_n, nrm_n, wo_n, mat_n, active_n,
          brdf_w) = _nee_and_bounce(
             k, tracer, em, mat_fn, position, wo, normal, mat, active,
-            1e-12, 0.0, trace_roughness=None,
+            1e-12, 0.0, trace_roughness=None, samples=smp,
         )
         dl = throughput * nee
         l = l + jnp.where(jnp.isnan(dl), 0.0, dl)
@@ -241,19 +246,26 @@ def trace_indirect(
     keys = jax.random.split(key, indir_depth)
     state = (position, wo, normal, mat0, throughput, active, l0)
     state = jax.lax.stop_gradient(state)
-    (_, _, _, _, _, _, l), _ = jax.lax.scan(body, state, keys)
+    (_, _, _, _, _, _, l), _ = jax.lax.scan(body, state, (keys, samples))
     return jax.lax.stop_gradient(l)
 
 
 def path_tracing(
     key, tracer: Tracer, em: Emitter, mat_fn: MatFn,
     rays_o, rays_d, dx_du, dy_dv, spp: int, indir_depth: int,
+    samples: dict | None = None,
 ):
     """Full estimator: differentiable first bounce + no-grad indirect tail
-    (reference :214-318). Returns (B, 3)."""
+    (reference :214-318). Returns (B, 3).
+
+    `samples` (CRN test hook): 'dudv' + first-bounce 's1'/'s2'/'s1b'/'s2b'
+    as in path_tracing_single, plus 'indirect' = trace_indirect's stacked
+    per-depth draws."""
     b = rays_o.shape[0]
     k_jit, k_b, k_ind = jax.random.split(key, 3)
-    position, wi = _jitter_rays(k_jit, rays_o, rays_d, dx_du, dy_dv, spp)
+    position, wi = _jitter_rays(k_jit, rays_o, rays_d, dx_du, dy_dv, spp,
+                                None if samples is None
+                                else samples["dudv"])
 
     position, normal, _, tri, _ = ray_intersect(tracer, position, wi)
     l, _, valid_next = eval_emitter(em, position, wi, tri)
@@ -264,20 +276,26 @@ def path_tracing(
     (nee, bounce, pos_n, nrm_n, wo_n, mat_n, active_n,
      brdf_w) = _nee_and_bounce(
         k_b, tracer, em, mat_fn, position, wo, normal, mat, active,
-        1e-6, 0.0, trace_roughness=None,
+        1e-6, 0.0, trace_roughness=None, samples=samples,
     )
     l = l + nee + bounce
 
     l_indir = trace_indirect(k_ind, tracer, em, mat_fn, pos_n, wo_n, nrm_n,
-                             active_n, indir_depth)
+                             active_n, indir_depth,
+                             samples=None if samples is None
+                             else samples["indirect"])
     l = l + jnp.where(active_n[:, None], brdf_w * l_indir, 0.0)
     return l.reshape(b, spp, 3).mean(1)
 
 
 def _det_common(key, tracer, em, mat_fn, positions, wis, normals,
-                triangle_idxs, spp, indir_depth, sample_fn):
+                triangle_idxs, spp, indir_depth, sample_fn,
+                samples: dict | None = None):
     """Shared deterministic-first-hit bake driver. sample_fn(key, wo, normal,
-    mat) -> (wi, weights list). Returns per-weight shaded results."""
+    mat, s2) -> (wi, weights list). Returns per-weight shaded results.
+
+    `samples` (CRN test hook): 'det_s2' (n, 2) lobe draws + 'indirect'
+    stacked per-depth draws for trace_indirect."""
     emit_mask = triangle_idxs != -1
     n = positions.shape[0] * spp
     position = jnp.repeat(positions, spp, axis=0)
@@ -286,7 +304,9 @@ def _det_common(key, tracer, em, mat_fn, positions, wis, normals,
     active = jnp.repeat(emit_mask, spp, axis=0)
 
     k_s, k_ind = jax.random.split(key)
-    wi, weights = sample_fn(k_s, wo, normal, None)
+    wi, weights = sample_fn(k_s, wo, normal, None,
+                            None if samples is None
+                            else samples["det_s2"])
 
     pos_next, nrm_next, _, tri, _ = ray_intersect(
         tracer, position + RAY_EPS * wi, wi
@@ -298,7 +318,9 @@ def _det_common(key, tracer, em, mat_fn, positions, wis, normals,
 
     active_next = active & valid_next
     l_indir = trace_indirect(k_ind, tracer, em, mat_fn, pos_next, -wi,
-                             nrm_next, active_next, indir_depth)
+                             nrm_next, active_next, indir_depth,
+                             samples=None if samples is None
+                             else samples["indirect"])
     results = [
         r + jnp.where(active_next[:, None], w * l_indir, 0.0)
         for r, w in zip(results, weights)
@@ -312,33 +334,38 @@ def _det_common(key, tracer, em, mat_fn, positions, wis, normals,
 def path_tracing_det_diff(
     key, tracer: Tracer, em: Emitter, mat_fn: MatFn,
     positions, wis, normals, uvs, triangle_idxs, spp: int, indir_depth: int,
+    samples: dict | None = None,
 ):
     """Diffuse shading bake from deterministic first hits (reference :50-124).
     Returns (B, 3) cosine-importance-sampled incident diffuse shading."""
 
-    def sample(k, wo, normal, mat):
-        s2 = jax.random.uniform(k, (normal.shape[0], 2))
+    def sample(k, wo, normal, mat, s2=None):
+        if s2 is None:
+            s2 = jax.random.uniform(k, (normal.shape[0], 2))
         wi, _, w = B.sample_diffuse(s2, normal)
         return wi, [w]
 
     (out,) = _det_common(key, tracer, em, mat_fn, positions, wis, normals,
-                         triangle_idxs, spp, indir_depth, sample)
+                         triangle_idxs, spp, indir_depth, sample,
+                         samples=samples)
     return out
 
 
 def path_tracing_det_spec(
     key, tracer: Tracer, em: Emitter, mat_fn: MatFn,
     roughness_level, positions, wis, normals, uvs, triangle_idxs,
-    spp: int, indir_depth: int,
+    spp: int, indir_depth: int, samples: dict | None = None,
 ):
     """Specular shading bake at a fixed roughness level (reference :127-212).
     Returns (L0, L1): the two Fresnel-split components, each (B, 3)."""
 
-    def sample(k, wo, normal, mat):
-        s2 = jax.random.uniform(k, (normal.shape[0], 2))
+    def sample(k, wo, normal, mat, s2=None):
+        if s2 is None:
+            s2 = jax.random.uniform(k, (normal.shape[0], 2))
         wi, _, w0, w1 = B.sample_specular(s2, wo, normal, roughness_level)
         return wi, [w0, w1]
 
     l0, l1 = _det_common(key, tracer, em, mat_fn, positions, wis, normals,
-                         triangle_idxs, spp, indir_depth, sample)
+                         triangle_idxs, spp, indir_depth, sample,
+                         samples=samples)
     return l0, l1

@@ -478,3 +478,321 @@ def crf_inverse(weight, f0, basis, ldr, exposure):
         frac = xi - i0
         hdr.append(inv_tab[i0] * (1.0 - frac) + inv_tab[i0 + 1] * frac)
     return np.stack(hdr, -1) / exposure
+
+
+# -------------------------------- diffuse/specular bake samplers (:78-136)
+
+def sample_diffuse(sample2, normal):
+    """brdf.py:78-88: cosine sample, weight 1, pdf NoL/pi."""
+    wi = diffuse_sampler(sample2, normal)
+    brdf_weight = np.ones(normal.shape)
+    pdf = relu((normal * wi).sum(-1, keepdims=True)) / PI
+    return wi, pdf, brdf_weight
+
+
+def sample_specular(sample2, wo, normal, roughness):
+    """brdf.py:112-136: GGX sample at a FIXED roughness level; returns the
+    two Fresnel-split weights (the level is a constant, so live==shadow)."""
+    b = wo.shape[0]
+    r = np.full((b, 1), roughness)
+    wi = specular_sampler(sample2, r, wo, normal)
+    h = normalize(wi + wo)
+    nol = relu((wi * normal).sum(-1, keepdims=True))
+    nov = relu((wo * normal).sum(-1, keepdims=True))
+    voh = relu((wo * h).sum(-1, keepdims=True))
+    noh = relu((normal * h).sum(-1, keepdims=True))
+    d = d_ggx(noh, r)
+    pdf = d / (4.0 * np.maximum(voh, 1e-4)) * noh
+    g = g_smith(nov, nol, r)
+    f0, f1 = fresnel_schlick_sep(voh)
+    fac = g * voh * nol / np.maximum(noh, 1e-4)
+    return wi, pdf, f0 * fac, f1 * fac
+
+
+# ------------------------------------------- trace_indirect (:409-502)
+
+def trace_indirect(tris, emitter, mat_of, mat_shadow_of, position, wo,
+                   normal, lane, uniforms, ray_eps, indir_depth):
+    """Literal transcription of utils/path_tracing.py:409-502. `lane`
+    maps the compacted rows to original lane ids; `uniforms['indirect']`
+    carries per-depth per-lane draws (s1 (D, n), s2 (D, n, 2), s1b,
+    s2b)."""
+    b = position.shape[0]
+    active_next = np.ones(b, bool)
+    throughput = np.ones((b, 3))
+    l = np.zeros((b, 3))
+    ind = uniforms["indirect"]
+    mat = None
+    mat_shadow = None
+
+    for depth in range(indir_depth):
+        if not active_next.any():
+            break
+        if depth == 0:
+            mat = mat_of(position)
+            mat_shadow = mat_shadow_of(position)
+
+        # sample emitter (:436-440)
+        wi, emit_pdf, emit_triangle_idx = emitter.sample_emitter(
+            ind["s1"][depth][lane], ind["s2"][depth][lane], position)
+
+        # visibility (:442-445)
+        emit_position, emit_normal, _, triangle_idx, emit_valid = \
+            ray_intersect_brute(tris, position + ray_eps * wi, wi)
+        emit_vis = (~emit_valid) | (emit_triangle_idx == triangle_idx)
+        emit_weight, _, _ = emitter.eval_emitter(emit_position, wi,
+                                                 triangle_idx)
+
+        # geometry term (:447-452); NOTE the 1e-12 clamp here vs the
+        # 1e-6 in path_tracing_single
+        g = np.abs((-wi * emit_normal).sum(-1)) / np.maximum(
+            ((emit_position - position) ** 2).sum(-1), 1e-12)
+        g = np.where(emit_valid, g, 1.0)[:, None]
+        emit_weight = emit_weight * emit_vis[:, None] * g \
+            / np.maximum(emit_pdf, 1e-12)
+
+        # emit brdf + MIS (:454-459); NO denominator clamp
+        emit_brdf, brdf_pdf = eval_brdf(wi, wo, normal, mat, mat_shadow)
+        brdf_pdf = brdf_pdf * g
+        with np.errstate(divide="ignore", invalid="ignore"):
+            w_mis = np.where(
+                (emit_pdf > 0) & (~np.isinf(brdf_pdf)),
+                emit_pdf * emit_pdf
+                / (emit_pdf * emit_pdf + brdf_pdf * brdf_pdf), 0.0)
+        w_mis[np.isinf(emit_pdf) | (brdf_pdf == 0)] = 1.0
+        dl = throughput * emit_brdf * emit_weight * w_mis
+        dl[np.isnan(dl)] = 0.0
+        l[active_next] += dl
+
+        # sample brdf (:462-467)
+        wi, brdf_pdf, brdf_weight = sample_brdf(
+            ind["s1b"][depth][lane], ind["s2b"][depth][lane], wo, normal,
+            mat, mat_shadow)
+        throughput = throughput * brdf_weight
+
+        position_next, normal, _, triangle_idx, vis = ray_intersect_brute(
+            tris, position + ray_eps * wi, wi)
+        mat_next = mat_of(position_next)
+        mat_next_shadow = mat_shadow_of(position_next)
+
+        # Le vs the cache at default trace_roughness (:475-489)
+        le, emit_pdf, valid_next = emitter.eval_emitter(
+            position_next, wi, triangle_idx, mat_next["roughness"])
+        g = np.abs((-normal * wi).sum(-1)) / np.maximum(
+            ((position - position_next) ** 2).sum(-1), 1e-12)
+        g = np.where(valid_next, g, 1.0)
+        brdf_pdf = brdf_pdf * g[:, None]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            w_mis = np.where(
+                (brdf_pdf > 0) & (~np.isinf(emit_pdf)),
+                brdf_pdf * brdf_pdf
+                / (emit_pdf * emit_pdf + brdf_pdf * brdf_pdf), 0.0)
+        w_mis[np.isinf(brdf_pdf) | (emit_pdf == 0)] = 1.0
+        dl = throughput * le * w_mis
+        dl[np.isnan(dl)] = 0.0
+        l[active_next] += dl
+
+        wo = -wi
+        position = position_next
+
+        # compaction (:492-501)
+        active_next = active_next.copy()
+        active_next[active_next.copy()] = valid_next
+        position = position[valid_next]
+        wo = wo[valid_next]
+        normal = normal[valid_next]
+        throughput = throughput[valid_next]
+        lane = lane[valid_next]
+        mat = {k: mat_next[k][valid_next] for k in mat_next}
+        mat_shadow = {k: mat_next_shadow[k][valid_next]
+                      for k in mat_next_shadow}
+    return l
+
+
+# ------------------------------------------------ path_tracing (:214-318)
+
+def path_tracing(tris, emitter, mat_of, mat_shadow_of, rays_o, rays_d,
+                 dx_du, dy_dv, spp, uniforms, ray_eps, indir_depth):
+    """Literal transcription of utils/path_tracing.py:214-318: MIS direct
+    bounce (cache at default trace_roughness 0.6) + no-grad indirect
+    tail scaled by the bounce throughput."""
+    b = len(rays_o)
+    du, dv = uniforms["dudv"]
+    wi = normalize(rays_d[:, None] + dx_du[:, None] * du
+                   + dy_dv[:, None] * dv).reshape(-1, 3)
+    position = np.repeat(rays_o, spp, axis=0)
+
+    position, normal, _, triangle_idx, vis = ray_intersect_brute(
+        tris, position, wi)
+    l, _, valid_next = emitter.eval_emitter(position, wi, triangle_idx)
+    if not valid_next.any():
+        return l.reshape(b, spp, 3).mean(1)
+    lane = np.arange(b * spp)
+    position = position[valid_next]
+    normal = normal[valid_next]
+    wo = -wi[valid_next]
+    active_next = valid_next.copy()
+    lane = lane[valid_next]
+
+    mat = mat_of(position)
+    mat_shadow = mat_shadow_of(position)
+
+    # direct MIS: sample emitter (:253-258)
+    wi, emit_pdf, emit_triangle_idx = emitter.sample_emitter(
+        uniforms["s1"][lane], uniforms["s2"][lane], position)
+    emit_position, emit_normal, _, triangle_idx, emit_valid = \
+        ray_intersect_brute(tris, position + ray_eps * wi, wi)
+    emit_vis = (~emit_valid) | (emit_triangle_idx == triangle_idx)
+    emit_weight, _, _ = emitter.eval_emitter(emit_position, wi,
+                                             triangle_idx)
+    g = np.abs((-wi * emit_normal).sum(-1)) / np.maximum(
+        ((emit_position - position) ** 2).sum(-1), 1e-6)
+    g = np.where(emit_valid, g, 1.0)[:, None]
+    emit_weight = emit_weight * emit_vis[:, None] * g \
+        / np.maximum(emit_pdf, 1e-6)
+    emit_brdf, brdf_pdf = eval_brdf(wi, wo, normal, mat, mat_shadow)
+    brdf_pdf = brdf_pdf * g
+    with np.errstate(divide="ignore", invalid="ignore"):
+        w_mis = np.where((emit_pdf > 0) & (~np.isinf(brdf_pdf)),
+                         emit_pdf * emit_pdf
+                         / (emit_pdf * emit_pdf + brdf_pdf * brdf_pdf),
+                         0.0)
+    w_mis[np.isinf(emit_pdf) | (brdf_pdf == 0)] = 1.0
+    l[active_next] += emit_brdf * emit_weight * w_mis
+
+    # sample brdf (:280-285)
+    wi, brdf_pdf, brdf_weight = sample_brdf(
+        uniforms["s1b"][lane], uniforms["s2b"][lane], wo, normal,
+        mat, mat_shadow)
+    position_next, normal, _, triangle_idx, vis = ray_intersect_brute(
+        tris, position + ray_eps * wi, wi)
+    mat_next = mat_of(position_next)
+    le, emit_pdf, valid_next = emitter.eval_emitter(
+        position_next, wi, triangle_idx, mat_next["roughness"])
+    g = np.abs((-normal * wi).sum(-1)) / np.maximum(
+        ((position - position_next) ** 2).sum(-1), 1e-6)
+    g = np.where(valid_next, g, 1.0)
+    brdf_pdf = brdf_pdf * g[:, None]
+    with np.errstate(divide="ignore", invalid="ignore"):
+        w_mis = np.where((brdf_pdf > 0) & (~np.isinf(emit_pdf)),
+                         brdf_pdf * brdf_pdf
+                         / (emit_pdf * emit_pdf + brdf_pdf * brdf_pdf),
+                         0.0)
+    w_mis[np.isinf(brdf_pdf) | (emit_pdf == 0)] = 1.0
+    l[active_next] += brdf_weight * le * w_mis
+
+    # indirect tail (:300-317)
+    wo = -wi
+    position = position_next
+    active_next = active_next.copy()
+    active_next[active_next.copy()] = valid_next
+    position = position[valid_next]
+    wo = wo[valid_next]
+    normal = normal[valid_next]
+    brdf_weight = brdf_weight[valid_next]
+    lane = lane[valid_next]
+    l_indir = trace_indirect(tris, emitter, mat_of, mat_shadow_of,
+                             position, wo, normal, lane, uniforms,
+                             ray_eps, indir_depth)
+    l[active_next] += brdf_weight * l_indir
+    return l.reshape(b, spp, 3).mean(1)
+
+
+# --------------------------------------- det bakes (:50-124 and :127-212)
+
+def path_tracing_det_diff(tris, emitter, mat_of, mat_shadow_of, positions,
+                          wis, normals, uvs, triangle_idxs, spp, uniforms,
+                          ray_eps, indir_depth):
+    """utils/path_tracing.py:50-124 (diffuse shading bake)."""
+    emit_mask = triangle_idxs != -1
+    l_out = np.zeros_like(positions)
+    if not emit_mask.any():
+        return l_out
+    position = np.repeat(positions[emit_mask], spp, axis=0)
+    normal = np.repeat(normals[emit_mask], spp, axis=0)
+    wo = np.repeat(-wis[emit_mask], spp, axis=0)
+    # lane ids of the repeat_interleave'd compacted rows, for CRN subsets
+    lane_all = np.repeat(np.flatnonzero(emit_mask), spp) * spp \
+        + np.tile(np.arange(spp), int(emit_mask.sum()))
+    bsz = int(emit_mask.sum())
+    l = np.zeros((bsz * spp, 3))
+    active_next = np.ones(bsz * spp, bool)
+
+    wi, brdf_pdf, brdf_weight = sample_diffuse(
+        uniforms["det_s2"][lane_all], normal)
+
+    position_next, normal, _, triangle_idx, vis = ray_intersect_brute(
+        tris, position + ray_eps * wi, wi)
+    mat_next = mat_of(position_next)
+    le, emit_pdf, valid_next = emitter.eval_emitter(
+        position_next, wi, triangle_idx, mat_next["roughness"])
+    l[active_next] += brdf_weight * le
+
+    wo = -wi
+    position = position_next
+    active_next = active_next.copy()
+    active_next[active_next.copy()] = valid_next
+    position = position[valid_next]
+    wo = wo[valid_next]
+    normal = normal[valid_next]
+    brdf_weight = brdf_weight[valid_next]
+    lane = lane_all[valid_next]
+    l_indir = trace_indirect(tris, emitter, mat_of, mat_shadow_of,
+                             position, wo, normal, lane, uniforms,
+                             ray_eps, indir_depth)
+    l[active_next] += brdf_weight * l_indir
+    l = l.reshape(bsz, spp, 3).mean(1)
+    l_out[emit_mask] = l
+    return l_out
+
+
+def path_tracing_det_spec(tris, emitter, mat_of, mat_shadow_of,
+                          roughness_level, positions, wis, normals, uvs,
+                          triangle_idxs, spp, uniforms, ray_eps,
+                          indir_depth):
+    """utils/path_tracing.py:127-212 (Fresnel-split specular bake)."""
+    emit_mask = triangle_idxs != -1
+    l0_out = np.zeros_like(positions)
+    l1_out = np.zeros_like(positions)
+    if not emit_mask.any():
+        return l0_out, l1_out
+    position = np.repeat(positions[emit_mask], spp, axis=0)
+    normal = np.repeat(normals[emit_mask], spp, axis=0)
+    wo = np.repeat(-wis[emit_mask], spp, axis=0)
+    lane_all = np.repeat(np.flatnonzero(emit_mask), spp) * spp \
+        + np.tile(np.arange(spp), int(emit_mask.sum()))
+    bsz = int(emit_mask.sum())
+    l0 = np.zeros((bsz * spp, 3))
+    l1 = np.zeros((bsz * spp, 3))
+    active_next = np.ones(bsz * spp, bool)
+
+    wi, _, w0, w1 = sample_specular(uniforms["det_s2"][lane_all], wo,
+                                    normal, roughness_level)
+    position_next, normal, _, triangle_idx, vis = ray_intersect_brute(
+        tris, position + ray_eps * wi, wi)
+    mat_next = mat_of(position_next)
+    le, _, valid_next = emitter.eval_emitter(
+        position_next, wi, triangle_idx, mat_next["roughness"])
+    l0[active_next] += w0 * le
+    l1[active_next] += w1 * le
+
+    wo = -wi
+    position = position_next
+    active_next = active_next.copy()
+    active_next[active_next.copy()] = valid_next
+    position = position[valid_next]
+    wo = wo[valid_next]
+    normal = normal[valid_next]
+    w0 = w0[valid_next]
+    w1 = w1[valid_next]
+    lane = lane_all[valid_next]
+    l_indir = trace_indirect(tris, emitter, mat_of, mat_shadow_of,
+                             position, wo, normal, lane, uniforms,
+                             ray_eps, indir_depth)
+    l0[active_next] += w0 * l_indir
+    l1[active_next] += w1 * l_indir
+    l0 = l0.reshape(bsz, spp, 3).mean(1)
+    l1 = l1.reshape(bsz, spp, 3).mean(1)
+    l0_out[emit_mask] = l0
+    l1_out[emit_mask] = l1
+    return l0_out, l1_out

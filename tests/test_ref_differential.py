@@ -310,3 +310,129 @@ def test_crf_inverse_allclose(setup):
     hdr_mine = np.asarray(crf_inverse(crf2, jnp.asarray(ldr, jnp.float32),
                                       1.0), np.float64)
     np.testing.assert_allclose(hdr_mine, hdr_oracle, rtol=2e-3, atol=2e-3)
+
+
+# --------------------- multi-bounce + det-bake forward differentials
+
+
+def _varmat_np(pos):
+    """Position-varying material (numpy): roughness crosses the 0.6
+    radiance-cache gate so BOTH cache-terminate and continue branches of
+    trace_indirect are exercised."""
+    n = pos.shape[0]
+    r = 0.4 + 0.2 * np.clip(pos[:, 0:1] / 2.0, 0.0, 1.0) * 2.0  # 0.4..0.8
+    return {"albedo": np.tile(np.asarray([0.55, 0.4, 0.3]), (n, 1)),
+            "roughness": r,
+            "metallic": np.full((n, 1), 0.3)}
+
+
+def _varmat_jnp(pos):
+    n = pos.shape[0]
+    r = 0.4 + 0.2 * jnp.clip(pos[:, 0:1] / 2.0, 0.0, 1.0) * 2.0
+    return {"albedo": jnp.tile(jnp.asarray([0.55, 0.4, 0.3]), (n, 1)),
+            "roughness": r,
+            "metallic": jnp.full((n, 1), 0.3)}
+
+
+INDIR_DEPTH = 2
+
+
+def make_uniforms_multi(b):
+    rng = np.random.default_rng(11)
+    n = b * SPP
+    return {
+        "dudv": rng.uniform(-0.5, 0.5, (2, b, SPP, 1)),
+        "s1": rng.uniform(0.0, 1.0, n),
+        "s2": rng.uniform(0.0, 1.0, (n, 2)),
+        "s1b": rng.uniform(0.0, 1.0, n),
+        "s2b": rng.uniform(0.0, 1.0, (n, 2)),
+        "det_s2": rng.uniform(0.0, 1.0, (n, 2)),
+        "indirect": {
+            "s1": rng.uniform(0.0, 1.0, (INDIR_DEPTH, n)),
+            "s2": rng.uniform(0.0, 1.0, (INDIR_DEPTH, n, 2)),
+            "s1b": rng.uniform(0.0, 1.0, (INDIR_DEPTH, n)),
+            "s2b": rng.uniform(0.0, 1.0, (INDIR_DEPTH, n, 2)),
+        },
+    }
+
+
+def _to_jnp(u):
+    if isinstance(u, dict):
+        return {k: _to_jnp(v) for k, v in u.items()}
+    return jnp.asarray(u, jnp.float32)
+
+
+def test_path_tracing_multibounce_allclose(setup):
+    """Full estimator (MIS direct + depth-2 no-grad indirect tail,
+    reference utils/path_tracing.py:214-318 + :409-502), including the
+    0.6-roughness radiance-cache termination on a position-varying
+    material."""
+    s = setup
+    u = make_uniforms_multi(len(s["o"]))
+    from iris_tpu.const import RAY_EPS
+    slf = O.OracleSLF(np.ones((H_SLF,) * 3, bool), VMIN, VMAX,
+                      _slf_field(H_SLF))
+    em_o = O.OracleEmitter(s["is_emitter"], s["tris"], s["p"]["radiance"],
+                           slf)
+    l_oracle = O.path_tracing(s["tris"], em_o, _varmat_np, _varmat_np,
+                              s["o"], s["d"], s["dxdu"], s["dydv"], SPP,
+                              u, RAY_EPS, INDIR_DEPTH)
+
+    from iris_tpu.render.integrator import path_tracing
+    l_mine = np.asarray(path_tracing(
+        jax.random.PRNGKey(0), s["tracer"], s["em"], _varmat_jnp,
+        jnp.asarray(s["o"], jnp.float32), jnp.asarray(s["d"], jnp.float32),
+        jnp.asarray(s["dxdu"], jnp.float32),
+        jnp.asarray(s["dydv"], jnp.float32), SPP, INDIR_DEPTH,
+        samples=_to_jnp(u)), np.float64)
+    assert np.isfinite(l_mine).all()
+    np.testing.assert_allclose(l_mine, l_oracle, rtol=5e-3, atol=5e-3)
+    # the varying-roughness material must actually split the cache gate
+    hits = O.ray_intersect_brute(
+        s["tris"], np.repeat(s["o"], SPP, 0),
+        np.repeat(s["d"], SPP, 0))[0]
+    r = _varmat_np(hits)["roughness"]
+    assert (r > 0.6).any() and (r < 0.6).any()
+
+
+def test_det_bakes_allclose(setup):
+    """Deterministic-first-hit shading bakes (reference :50-124 diffuse,
+    :127-212 Fresnel-split specular) vs the transcription — the
+    estimators that write every shading cache."""
+    s = setup
+    u = make_uniforms_multi(len(s["o"]))
+    from iris_tpu.const import RAY_EPS
+
+    # deterministic first hits from pixel centers (shared input)
+    pos, nrm, uv, tri, valid = O.ray_intersect_brute(s["tris"], s["o"],
+                                                     s["d"])
+    assert (~valid).any() and valid.any()
+    slf = O.OracleSLF(np.ones((H_SLF,) * 3, bool), VMIN, VMAX,
+                      _slf_field(H_SLF))
+    em_o = O.OracleEmitter(s["is_emitter"], s["tris"], s["p"]["radiance"],
+                           slf)
+
+    ld_oracle = O.path_tracing_det_diff(
+        s["tris"], em_o, _varmat_np, _varmat_np, pos, s["d"], nrm, uv,
+        tri, SPP, u, RAY_EPS, INDIR_DEPTH)
+    l0_oracle, l1_oracle = O.path_tracing_det_spec(
+        s["tris"], em_o, _varmat_np, _varmat_np, 0.32, pos, s["d"], nrm,
+        uv, tri, SPP, u, RAY_EPS, INDIR_DEPTH)
+
+    from iris_tpu.render.integrator import (
+        path_tracing_det_diff, path_tracing_det_spec,
+    )
+    args32 = [jnp.asarray(x, jnp.float32) for x in (pos, s["d"], nrm, uv)]
+    tri32 = jnp.asarray(tri, jnp.int32)
+    ld_mine = np.asarray(path_tracing_det_diff(
+        jax.random.PRNGKey(0), s["tracer"], s["em"], _varmat_jnp,
+        *args32, tri32, SPP, INDIR_DEPTH, samples=_to_jnp(u)), np.float64)
+    l0_mine, l1_mine = path_tracing_det_spec(
+        jax.random.PRNGKey(0), s["tracer"], s["em"], _varmat_jnp, 0.32,
+        *args32, tri32, SPP, INDIR_DEPTH, samples=_to_jnp(u))
+    np.testing.assert_allclose(ld_mine, ld_oracle, rtol=5e-3, atol=5e-3)
+    np.testing.assert_allclose(np.asarray(l0_mine, np.float64), l0_oracle,
+                               rtol=5e-3, atol=5e-3)
+    np.testing.assert_allclose(np.asarray(l1_mine, np.float64), l1_oracle,
+                               rtol=5e-3, atol=5e-3)
+    assert ld_oracle.max() > 0 and l0_oracle.max() > 0
