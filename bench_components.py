@@ -85,6 +85,30 @@ def main():
             report(f"hashgrid{levels}_{name}_fwd_bwd_queries_per_s", dt, n,
                    "queries/s")
 
+    # production-default row-gather grid (8 levels x 8 features, round 4):
+    # equal capacity / MLP width as the reference 32x2
+    cfg_row = HashGridConfig(n_levels=8, n_features=8, log2_table_size=19,
+                             per_level_scale=1.3 ** (31.0 / 7.0),
+                             row_gather=True, stochastic_fwd=True,
+                             stochastic_bwd=True, bwd_level_sample=2)
+    table_row = init_hashgrid(jax.random.PRNGKey(7), cfg_row)
+    enc_row = jax.jit(lambda k: hashgrid_encode(
+        table_row, dc_replace(cfg_row, stochastic_fwd=False,
+                              stochastic_bwd=False),
+        jax.random.uniform(k, (n, 3))).sum())
+    dt = bench_scan(enc_row, jax.random.PRNGKey(1))
+    report("hashgrid8x8row_fwd_queries_per_s", dt, n, "queries/s")
+
+    def enc_row_loss(tab, k):
+        x = jax.random.uniform(k, (n, 3))
+        return hashgrid_encode(tab, cfg_row, x, k).sum()
+
+    encg_row = jax.jit(lambda k: jnp.sum(jax.grad(enc_row_loss)(table_row,
+                                                                k)))
+    dt = bench_scan(encg_row, jax.random.PRNGKey(2))
+    report("hashgrid8x8row_default_fwd_bwd_queries_per_s", dt, n,
+           "queries/s")
+
     # full single-bounce fwd (fresh keys -> fresh jitter/samples)
     o, d, dxdu, dydv = map(jnp.asarray, camera_rays(int(B ** 0.5)))
     fwd = jax.jit(lambda k: path_tracing_single(
