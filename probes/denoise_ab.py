@@ -25,11 +25,10 @@ sys.path.insert(0, "/root/repo")
 
 import jax  # noqa: E402
 
-if os.environ.get("JAX_PLATFORMS") == "cpu" or True:
-    try:
-        jax.config.update("jax_default_device", jax.devices("cpu")[0])
-    except Exception:
-        pass
+try:
+    jax.config.update("jax_default_device", jax.devices("cpu")[0])
+except Exception:
+    pass
 
 import jax.numpy as jnp  # noqa: E402
 import numpy as np  # noqa: E402
