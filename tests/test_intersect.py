@@ -115,3 +115,21 @@ def test_pallas_mode_policy_cpu():
         assert _pallas_mode(tracer, 1 << 18) is None
     finally:
         del os.environ["IRIS_TPU_NO_PALLAS"]
+
+
+def test_kernel_gates_round4_policy():
+    """Locks the round-4 auto-policy inputs: a ~102K-face SAH tree (39%
+    leaf padding) must pass the widened 12 MB dense-resident gate while
+    still failing the paired gate — the regime that previously fell to
+    the HBM-streamed kernel at 0.71M rays/s (PERF.md round-4b)."""
+    from iris_tpu.demo import make_demo_scene
+    from iris_tpu.geometry import pallas_intersect as pi
+
+    tracer, *_ = make_demo_scene(n_clutter=8500, slf_res=8, hash_levels=2,
+                                 log2_table=8)
+    assert tracer.n_faces > 100_000
+    assert not pi.paired_available(tracer)          # 34.6 MB staged
+    assert pi.dense_available(tracer)               # 10.8 MB <= 12 MB
+    assert not pi.dense_available(tracer, budget=10 << 20)  # old gate: no
+    # beyond-dense sizes keep streaming
+    assert pi.paired_streamed_available(tracer)
