@@ -60,6 +60,13 @@ RAD_ARGS="--radiance_log_space $RADIANCE_LOG_SPACE --radiance_lr_scale $RADIANCE
 # unbiased; device A/B round-2h: 2.4x faster, deviation 10-100x below the
 # MC noise floor) or exact (8-corner reference semantics)
 ENCODE_REFINE=${ENCODE_REFINE:-stoch}
+# resume support: skip stages below START_STAGE (1=slf_bake 2=extract
+# 3=initialize 4=emitter-update 5=bake_shading 6=brdf0 7=slf_refine
+# 8=train_emitter 9=refine_shading+brdf1). Stage artifacts are all on
+# disk, so a crashed run resumes from the failed stage (reference
+# train.sh's per-stage invocations are restartable the same way).
+START_STAGE=${START_STAGE:-1}
+stage() { [ "$START_STAGE" -le "$1" ]; }
 
 CKPT=checkpoints/$EXP
 BAKE=$CKPT/bake
@@ -69,56 +76,74 @@ LDR_ARG=${LDR_IMG_DIR:+--ldr_img_dir $LDR_IMG_DIR}
 COMMON_DS="--dataset_root $DATASET_ROOT --scene $SCENE --dataset $DATASET --res_scale $RES_SCALE $LDR_ARG"
 TRAIN_DS="--dataset $DATASET $DATASET_PATH --scene $SCENE --res_scale $RES_SCALE $LDR_ARG"
 
-# 1. bake surface light field
-python -m iris_tpu.pipeline.slf_bake $COMMON_DS --output $BAKE --voxel_num $VOXEL_NUM
+if stage 1; then
+  # 1. bake surface light field
+  python -m iris_tpu.pipeline.slf_bake $COMMON_DS --output $BAKE --voxel_num $VOXEL_NUM
+fi
 
-# 2. extract emitter mask
-python -m iris_tpu.pipeline.extract_emitter $COMMON_DS --output $BAKE \
-    --threshold 0.99
+if stage 2; then
+  # 2. extract emitter mask
+  python -m iris_tpu.pipeline.extract_emitter $COMMON_DS --output $BAKE \
+      --threshold 0.99
+fi
 
-# 3. joint BRDF + emitter initialization
-python -m iris_tpu.pipeline.initialize --experiment_name $EXP/init \
-    $TRAIN_DS --voxel_path $BAKE/vslf.npz --emitter_path $BAKE/emitter.npz \
-    --has_part $HAS_PART --SPP $SPP --spp $spp --crf_basis $CRF_BASIS \
-    --val_frame $VAL_FRAME $INIT_BUDGET $TRAIN_COMMON $RAD_ARGS
+if stage 3; then
+  # 3. joint BRDF + emitter initialization
+  python -m iris_tpu.pipeline.initialize --experiment_name $EXP/init \
+      $TRAIN_DS --voxel_path $BAKE/vslf.npz --emitter_path $BAKE/emitter.npz \
+      --has_part $HAS_PART --SPP $SPP --spp $spp --crf_basis $CRF_BASIS \
+      --val_frame $VAL_FRAME $INIT_BUDGET $TRAIN_COMMON $RAD_ARGS
+fi
 
-# 4. write learned emitter radiance into emitter.npz
-python -m iris_tpu.pipeline.extract_emitter $COMMON_DS --output $BAKE \
-    --mode update --ckpt checkpoints/$EXP/init/last.pkl
+if stage 4; then
+  # 4. write learned emitter radiance into emitter.npz
+  python -m iris_tpu.pipeline.extract_emitter $COMMON_DS --output $BAKE \
+      --mode update --ckpt checkpoints/$EXP/init/last.pkl
+fi
 
-# 5. bake shading caches
-python -m iris_tpu.pipeline.bake_shading $COMMON_DS \
-    --slf_path $BAKE/vslf.npz --emitter_path $BAKE/emitter.npz \
-    --output $OUT/shading --spp_diffuse $SPP_BAKE_DIFFUSE
+if stage 5; then
+  # 5. bake shading caches
+  python -m iris_tpu.pipeline.bake_shading $COMMON_DS \
+      --slf_path $BAKE/vslf.npz --emitter_path $BAKE/emitter.npz \
+      --output $OUT/shading --spp_diffuse $SPP_BAKE_DIFFUSE
+fi
 
-# 6. optimize BRDF + CRF against the caches
-python -m iris_tpu.pipeline.train_brdf_crf --experiment_name $EXP/brdf0 \
-    $TRAIN_DS --has_part $HAS_PART --crf_basis $CRF_BASIS \
-    --ckpt_path checkpoints/$EXP/init/last.pkl \
-    --voxel_path $BAKE/vslf.npz --emitter_path $BAKE/emitter.npz \
-    --cache_dir $OUT/shading --lp 0.005 --la 0.01 --l_crf_weight $L_CRF_WEIGHT \
-    --val_frame $VAL_FRAME $BRDF_BUDGET $TRAIN_COMMON
+if stage 6; then
+  # 6. optimize BRDF + CRF against the caches
+  python -m iris_tpu.pipeline.train_brdf_crf --experiment_name $EXP/brdf0 \
+      $TRAIN_DS --has_part $HAS_PART --crf_basis $CRF_BASIS \
+      --ckpt_path checkpoints/$EXP/init/last.pkl \
+      --voxel_path $BAKE/vslf.npz --emitter_path $BAKE/emitter.npz \
+      --cache_dir $OUT/shading --lp 0.005 --la 0.01 --l_crf_weight $L_CRF_WEIGHT \
+      --val_frame $VAL_FRAME $BRDF_BUDGET $TRAIN_COMMON
+fi
 
-# 7. re-bake the SLF with the learned CRF
-python -m iris_tpu.pipeline.slf_refine $COMMON_DS --output $BAKE \
-    --load vslf.npz --save vslf_0.npz \
-    --ckpt checkpoints/$EXP/brdf0/last.pkl --crf_basis $CRF_BASIS
+if stage 7; then
+  # 7. re-bake the SLF with the learned CRF
+  python -m iris_tpu.pipeline.slf_refine $COMMON_DS --output $BAKE \
+      --load vslf.npz --save vslf_0.npz \
+      --ckpt checkpoints/$EXP/brdf0/last.pkl --crf_basis $CRF_BASIS
+fi
 
-# 8. refine emitter radiance
-python -m iris_tpu.pipeline.train_emitter --experiment_name $EXP/emitter \
-    $TRAIN_DS --crf_basis $CRF_BASIS --SPP $SPP --spp $spp \
-    --ckpt_path checkpoints/$EXP/brdf0/last.pkl \
-    --voxel_path $BAKE/vslf_0.npz --emitter_path $BAKE/emitter.npz \
-    $EMITTER_BUDGET --batch_size $BATCH_SIZE $RAD_ARGS
-python -m iris_tpu.pipeline.extract_emitter $COMMON_DS --output $BAKE \
-    --mode update --ckpt checkpoints/$EXP/emitter/emitter_last.pkl
+if stage 8; then
+  # 8. refine emitter radiance
+  python -m iris_tpu.pipeline.train_emitter --experiment_name $EXP/emitter \
+      $TRAIN_DS --crf_basis $CRF_BASIS --SPP $SPP --spp $spp \
+      --ckpt_path checkpoints/$EXP/brdf0/last.pkl \
+      --voxel_path $BAKE/vslf_0.npz --emitter_path $BAKE/emitter.npz \
+      $EMITTER_BUDGET --batch_size $BATCH_SIZE $RAD_ARGS
+  python -m iris_tpu.pipeline.extract_emitter $COMMON_DS --output $BAKE \
+      --mode update --ckpt checkpoints/$EXP/emitter/emitter_last.pkl
+fi
 
-# 9. refine shadings with the learned BRDF + final BRDF/CRF pass
-python -m iris_tpu.pipeline.refine_shading $COMMON_DS \
-    --slf_path $BAKE/vslf_0.npz --emitter_path $BAKE/emitter.npz \
-    --ckpt checkpoints/$EXP/brdf0/last.pkl --output $OUT/shading_1 \
-    --spp_diffuse $SPP_REFINE_DIFFUSE --spp_specular $SPP_REFINE_SPECULAR \
-    --indir_depth $INDIR_DEPTH --encode $ENCODE_REFINE
+if stage 9; then
+  # 9. refine shadings with the learned BRDF + final BRDF/CRF pass
+  python -m iris_tpu.pipeline.refine_shading $COMMON_DS \
+      --slf_path $BAKE/vslf_0.npz --emitter_path $BAKE/emitter.npz \
+      --ckpt checkpoints/$EXP/brdf0/last.pkl --output $OUT/shading_1 \
+      --spp_diffuse $SPP_REFINE_DIFFUSE --spp_specular $SPP_REFINE_SPECULAR \
+      --indir_depth $INDIR_DEPTH --encode $ENCODE_REFINE
+fi
 
 python -m iris_tpu.pipeline.train_brdf_crf --experiment_name $EXP/brdf1 \
     $TRAIN_DS --has_part $HAS_PART --crf_basis $CRF_BASIS \

@@ -23,11 +23,19 @@ RENDER_FRAMES=${RENDER_FRAMES:-0}
 
 echo "SCALE config: HW=$HW N_TRAIN=$N_TRAIN N_CLUTTER=$N_CLUTTER \
 GEN_SPP=$GEN_SPP METALLIC_AMP=$METALLIC_AMP RENDER_FRAMES=$RENDER_FRAMES"
-echo "SCALE gen start $(date +%H:%M:%S)"
-python -m iris_tpu.data.make_demo_dataset "$ROOT" --hw $HW \
-  --n_train "$N_TRAIN" --n_val 2 --spp "$GEN_SPP" --indir_depth 2 \
-  --n_clutter "$N_CLUTTER" --seed 3 --metallic_amp "$METALLIC_AMP"
-echo "SCALE gen done $(date +%H:%M:%S)"
+# SKIP_GEN=1 reuses an existing $ROOT dataset; START_STAGE (run_pipeline.
+# sh) resumes the stage chain — together they restart a crashed record
+# without redoing finished work (the generator is seeded, so a kept
+# dataset is bit-identical to what a rerun would produce).
+if [ "${SKIP_GEN:-0}" != "1" ]; then
+  echo "SCALE gen start $(date +%H:%M:%S)"
+  python -m iris_tpu.data.make_demo_dataset "$ROOT" --hw $HW \
+    --n_train "$N_TRAIN" --n_val 2 --spp "$GEN_SPP" --indir_depth 2 \
+    --n_clutter "$N_CLUTTER" --seed 3 --metallic_amp "$METALLIC_AMP"
+  echo "SCALE gen done $(date +%H:%M:%S)"
+else
+  echo "SCALE gen skipped (SKIP_GEN=1, reusing $ROOT)"
+fi
 
 export DATASET=synthetic DATASET_PATH=$ROOT EXP=$EXP LDR_IMG_DIR=ldr
 export STEPS_INIT=${STEPS_INIT:-2000} STEPS_BRDF=${STEPS_BRDF:-4000} \
