@@ -32,8 +32,10 @@ def main(batch: int = 8192, spp: int = 8, iters: int = 5):
     max_n = len(devices)
     counts = [n for n in [1, 2, 4, 8, 16, 32] if n <= max_n]
 
+    # production-default row-gather grid (round 4), scaled-down table
     tracer, em, ngp, crf, _ = make_demo_scene(
-        n_clutter=8, slf_res=32, hash_levels=8, log2_table=14)
+        n_clutter=8, slf_res=32, hash_levels=8, hash_features=8,
+        per_level_scale=-1.0, log2_table=14)
     cfg = LossConfig(spp=spp, max_segments=16)
     loss_fn = make_initialize_loss(tracer, em, crf, cfg)
     optimizer = make_optimizer()
