@@ -436,3 +436,36 @@ def test_det_bakes_allclose(setup):
     np.testing.assert_allclose(np.asarray(l1_mine, np.float64), l1_oracle,
                                rtol=5e-3, atol=5e-3)
     assert ld_oracle.max() > 0 and l0_oracle.max() > 0
+
+
+def test_near_mirror_material_edges(setup):
+    """Near-singular regime: roughness at the 0.02 floor + metallic 0.9
+    drives D_GGX/pdf_spec toward the inf/0 MIS guard branches
+    (reference :374-381,:401-403) — the edge cases the round-3 verdict
+    called out. Looser tolerance (f32 vs f64 near-singular), but both
+    sides must stay finite and agree to ~1%."""
+    s = setup
+    p = dict(s["p"])
+    p["roughness"] = np.asarray([0.02])
+    p["metallic"] = np.asarray([0.9])
+    l_oracle = oracle_render(s["tris"], s["is_emitter"], p, p,
+                             s["uniforms"], s["o"], s["d"], s["dxdu"],
+                             s["dydv"])
+    render, _ = mine_loss_fn(s["tracer"], s["em"], s["crf"], s["uniforms"],
+                             s["o"], s["d"], s["dxdu"], s["dydv"],
+                             s["target"])
+    l_mine = np.asarray(render(jparams(p)), np.float64)
+    assert np.isfinite(l_oracle).all() and np.isfinite(l_mine).all()
+    np.testing.assert_allclose(l_mine, l_oracle, rtol=1e-2, atol=1e-2)
+    # the singular pdf actually occurred: some specular pdf values huge
+    hits = O.ray_intersect_brute(
+        s["tris"], np.repeat(s["o"], SPP, 0), np.repeat(s["d"], SPP, 0))
+    pos, nrm, _, tri, valid = hits
+    mat = {k: np.tile(v, (valid.sum(), 1)) for k, v in
+           (("albedo", p["albedo"]), ("roughness", p["roughness"]),
+            ("metallic", p["metallic"]))}
+    wi, pdf, w = O.sample_brdf(s["uniforms"]["s1b"][valid],
+                               s["uniforms"]["s2b"][valid],
+                               -np.repeat(s["d"], SPP, 0)[valid],
+                               nrm[valid], mat, mat)
+    assert pdf.max() > 1e3   # near-mirror: the D spike is in play
