@@ -256,12 +256,16 @@ def make_train_emitter_loss(tracer, em_template, material_params,
 
 
 def make_brdf_crf_loss(tracer, crf_template: EmorCRF, cfg: LossConfig,
-                       voxel_min, voxel_max):
+                       voxel_min, voxel_max, mat_fn=None):
     """params = {"material": NGPBRDF, "crf_weight": (3,dim)}.
 
     batch keys: rays (B,12), rgbs, exposure, diffuse (B,3),
     specular0/1 (B,R,3), segmentation (B,), int_albedo (B,3).
-    Reference train_brdf_crf.py:163-314."""
+    Reference train_brdf_crf.py:163-314.
+
+    mat_fn(params, positions, key) overrides the NGP material query —
+    used by the reference-semantics differential oracle to pin the LOSS
+    semantics with an analytic material (tests/test_ref_differential)."""
 
     def loss_fn(params, batch, key):
         rays, rgbs_gt = batch["rays"], batch["rgbs"]
@@ -271,7 +275,8 @@ def make_brdf_crf_loss(tracer, crf_template: EmorCRF, cfg: LossConfig,
 
         key, k_mat = jax.random.split(key)
         # key => unbiased stochastic-corner hash-grid gradients (hot path)
-        mat = ngp_brdf_apply(params["material"], positions, k_mat)
+        mat = (ngp_brdf_apply(params["material"], positions, k_mat)
+               if mat_fn is None else mat_fn(params, positions, k_mat))
         albedo, metallic, roughness = (mat["albedo"], mat["metallic"],
                                        mat["roughness"])
         kd = albedo * (1.0 - metallic)

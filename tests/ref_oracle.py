@@ -796,3 +796,72 @@ def path_tracing_det_spec(tris, emitter, mat_of, mat_shadow_of,
     l0_out[emit_mask] = l0
     l1_out[emit_mask] = l1
     return l0_out, l1_out
+
+
+# -------------------------- cached-shading BRDF/CRF loss (train_brdf_crf)
+
+def lerp_specular(specular, roughness):
+    """ops.py:99-119: pick/interp the (B, R, 3) cached specular levels at
+    roughness (B, 1) remapped from [0.02, 1.0]."""
+    r_min, r_max = 0.02, 1.0
+    r_num = specular.shape[-2]
+    r = (roughness - r_min) / (r_max - r_min) * (r_num - 1)
+    r1 = np.ceil(r).astype(np.int64)
+    r0 = np.floor(r).astype(np.int64)
+    r_ = r - r0
+    b = np.arange(specular.shape[0])
+    s0 = specular[b, r0[:, 0]]
+    s1 = specular[b, r1[:, 0]]
+    return s0 * (1.0 - r_) + s1 * r_
+
+
+def brdf_crf_loss(tris, batch, mat_of, mat_shadow_of, crf_w, f0, basis,
+                  ld, lp):
+    """Transcription of the stage-6 cached-shading training step
+    (train_brdf_crf.py:162-240, part-segmentation branch): re-render from
+    diffuse/specular caches via kd/ks + lerp_specular, CRF to LDR, MSE on
+    VALID pixels + diffuse prior + (1-roughness).detach()-weighted
+    per-part mean propagation."""
+    rays, rgbs_gt = batch["rays"], batch["rgbs"]
+    xs, ds = rays[:, 0:3], normalize(rays[:, 3:6])
+    positions, _, _, tri, valid = ray_intersect_brute(tris, xs, ds)
+
+    normalsless = None  # unused
+    rgbs_gt = rgbs_gt[valid]
+    positions = positions[valid]
+    diffuse = batch["diffuse"][valid]
+    specular0 = batch["specular0"][valid]
+    specular1 = batch["specular1"][valid]
+    segmentation = batch["segmentation"][valid].astype(np.int64)
+    exposure = batch["exposure"][valid]
+
+    mat = mat_of(positions)
+    mat_shadow = mat_shadow_of(positions)
+    albedo, metallic, roughness = (mat["albedo"], mat["metallic"],
+                                   mat["roughness"])
+    kd = albedo * (1.0 - metallic)
+    ks = 0.04 * (1.0 - metallic) + albedo * metallic
+    ld_shade = kd * diffuse
+    ls_shade = ks * lerp_specular(specular0, roughness) \
+        + lerp_specular(specular1, roughness)
+    l = ld_shade + ls_shade
+
+    ldr = crf_forward(crf_w, f0, basis, l, exposure)
+    loss_c = np.mean((ldr - rgbs_gt) ** 2)
+
+    loss_d = ld * (np.abs(roughness - 1.0).mean() + metallic.mean())
+
+    # part propagation (:216-238); the weight is DETACHED roughness
+    seg_idxs, inv_idxs = np.unique(segmentation, return_inverse=True)
+    w_ = (1.0 - mat_shadow["roughness"]).squeeze(-1) + 1e-4
+    sums_m = np.zeros(len(seg_idxs))
+    sums_r = np.zeros(len(seg_idxs))
+    sums_w = np.zeros(len(seg_idxs))
+    np.add.at(sums_m, inv_idxs, metallic.squeeze(-1) * w_)
+    np.add.at(sums_r, inv_idxs, roughness.squeeze(-1) * w_)
+    np.add.at(sums_w, inv_idxs, w_)
+    mean_m = (sums_m / sums_w)[inv_idxs][:, None]
+    mean_r = (sums_r / sums_w)[inv_idxs][:, None]
+    loss_seg = lp * (np.abs(metallic - mean_m).mean()
+                     + np.abs(roughness - mean_r).mean())
+    return loss_c + loss_d + loss_seg

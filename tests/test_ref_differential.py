@@ -469,3 +469,88 @@ def test_near_mirror_material_edges(setup):
                                -np.repeat(s["d"], SPP, 0)[valid],
                                nrm[valid], mat, mat)
     assert pdf.max() > 1e3   # near-mirror: the D spike is in play
+
+
+def test_brdf_crf_cached_loss_allclose(setup):
+    """Stage-6 cached-shading training loss (reference train_brdf_crf.py:
+    162-240, part branch): kd/ks re-render via lerp_specular, CRF with
+    exposure, valid-masked MSE, diffuse prior, detached-(1-roughness)-
+    weighted per-part propagation — value AND gradients vs the
+    transcription (FD with the detach held fixed)."""
+    from iris_tpu.train.steps import LossConfig, make_brdf_crf_loss
+
+    s = setup
+    b = len(s["o"])
+    rng = np.random.default_rng(5)
+    rays = np.concatenate([s["o"], s["d"], s["dxdu"], s["dydv"]],
+                          -1).astype(np.float64)
+    batch_np = {
+        "rays": rays,
+        "rgbs": rng.uniform(0.0, 1.0, (b, 3)),
+        "diffuse": rng.uniform(0.0, 2.0, (b, 3)),
+        "specular0": rng.uniform(0.0, 1.5, (b, 6, 3)),
+        "specular1": rng.uniform(0.0, 0.5, (b, 6, 3)),
+        "segmentation": (np.arange(b) // 16).astype(np.float64),
+        "exposure": np.full((b, 1), 1.2),
+        "int_albedo": rng.uniform(0, 1, (b, 3)),
+    }
+    p0 = {k: v for k, v in base_params().items() if k != "radiance"}
+    ld, lp = 5e-4, 5e-3
+
+    # ---- oracle: value + FD grads (shadow = detached copies fixed)
+    def mat_of_from(p):
+        def mat_of(pos):
+            n = pos.shape[0]
+            return {"albedo": np.tile(p["albedo"], (n, 1)),
+                    "roughness": np.tile(p["roughness"], (n, 1)),
+                    "metallic": np.tile(p["metallic"], (n, 1))}
+        return mat_of
+
+    def f(p):
+        return O.brdf_crf_loss(s["tris"], batch_np, mat_of_from(p),
+                               mat_of_from(p0), p["crf_w"], s["f0"],
+                               s["basis"], ld, lp)
+
+    # ---- mine: injected analytic material, same params
+    cfg = LossConfig(ld=ld, lp=lp, max_segments=16, has_part=True,
+                     l_crf_increasing=0.0, l_crf_weight=0.0)
+
+    def mat_fn(params, pos, key):
+        n = pos.shape[0]
+        return {"albedo": jnp.tile(params["albedo"][None], (n, 1)),
+                "roughness": jnp.tile(params["roughness"][None], (n, 1)),
+                "metallic": jnp.tile(params["metallic"][None], (n, 1))}
+
+    loss_mine = make_brdf_crf_loss(s["tracer"], s["crf"], cfg, VMIN, VMAX,
+                                   mat_fn=mat_fn)
+    batch_j = {k: jnp.asarray(v, jnp.float32) for k, v in batch_np.items()}
+
+    def loss_of(p):
+        params = {k: jnp.asarray(v, jnp.float32) for k, v in p.items()}
+        params["crf_weight"] = params.pop("crf_w")
+        l, _aux = loss_mine(params, batch_j, jax.random.PRNGKey(0))
+        return l
+
+    v_mine = float(loss_of(p0))
+    v_oracle = f(p0)
+    np.testing.assert_allclose(v_mine, v_oracle, rtol=2e-4, atol=2e-5)
+
+    g = jax.grad(lambda p: loss_of(p))(
+        {k: jnp.asarray(v, jnp.float32) for k, v in p0.items()})
+    h = 1e-5
+    for name in ("albedo", "roughness", "metallic", "crf_w"):
+        base = p0[name]
+        fd = np.zeros_like(base, np.float64)
+        for idx in np.ndindex(base.shape):
+            pp = {k: v.copy() for k, v in p0.items()}
+            pp[name][idx] = base[idx] + h
+            up = f(pp)
+            pp[name][idx] = base[idx] - h
+            dn = f(pp)
+            fd[idx] = (up - dn) / (2 * h)
+        scale = max(np.abs(fd).max(), 1e-6)
+        np.testing.assert_allclose(
+            np.asarray(g[name], np.float64), fd, rtol=0,
+            atol=5e-3 * scale,
+            err_msg=f"cached-loss gradient mismatch: {name}")
+        assert np.abs(fd).max() > 0, f"zero oracle gradient for {name}"
