@@ -183,7 +183,17 @@ def propagation_loss(key, seg, valid, pos_n, albedo_d, roughness, metallic,
 def make_initialize_loss(tracer, em_template, crf: EmorCRF, cfg: LossConfig):
     """params = {"material": NGPBRDF, "radiance": (K,3)}. batch keys:
     rays (B,12), rgbs (B,3), exposure (B,1)|None, segmentation (B,),
-    int_albedo (B,3)."""
+    int_albedo (B,3).
+
+    Reference initialize.py:150-202. Documented deviation: the albedo
+    anchor here is masked to VALID first hits (both the segment means and
+    the per-pixel MSE), whereas the reference anchors the field at the
+    garbage positions of missed rays too (initialize.py:160-201 never
+    compacts by `valid`) — anchoring noise we choose not to replicate.
+    The render term and its material-frozen gradient flow (only
+    emitter/CRF receive render gradients) match the reference exactly
+    (requires_grad toggling :170-186 = stop_gradient here; pinned by
+    tests/test_ref_differential.py::test_initialize_material_grad_is_anchor_only)."""
 
     def loss_fn(params, batch, key):
         rays, rgbs_gt = batch["rays"], batch["rgbs"]

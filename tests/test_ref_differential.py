@@ -554,3 +554,33 @@ def test_brdf_crf_cached_loss_allclose(setup):
             atol=5e-3 * scale,
             err_msg=f"cached-loss gradient mismatch: {name}")
         assert np.abs(fd).max() > 0, f"zero oracle gradient for {name}"
+
+
+def test_initialize_material_grad_is_anchor_only(setup):
+    """The initialize stage renders with the material FROZEN (reference
+    initialize.py:170-186 requires_grad toggling): the material gradient
+    of the full loss must equal the gradient of the albedo-anchor term
+    alone — zero render leakage — while the radiance gradient must be
+    nonzero (it flows ONLY through the render)."""
+    from iris_tpu.demo import make_demo_batch, make_demo_scene
+    from iris_tpu.train.steps import LossConfig, make_initialize_loss
+
+    tracer, em, ngp, crf, _ = make_demo_scene(
+        n_clutter=4, slf_res=8, hash_levels=2, hash_features=4,
+        log2_table=8)
+    cfg = LossConfig(spp=2, max_segments=8)
+    loss_fn = make_initialize_loss(tracer, em, crf, cfg)
+    batch = make_demo_batch(n_side=16)
+    params = {"material": ngp, "radiance": em.radiance}
+
+    g = jax.grad(lambda p: loss_fn(p, batch, jax.random.PRNGKey(0))[0])(
+        params)
+    g_anchor = jax.grad(lambda p: loss_fn(
+        p, batch, jax.random.PRNGKey(0))[1]["loss_a"])(params)
+    for leaf, leaf_a in zip(
+            jax.tree_util.tree_leaves(g["material"]),
+            jax.tree_util.tree_leaves(g_anchor["material"])):
+        np.testing.assert_allclose(np.asarray(leaf), np.asarray(leaf_a),
+                                   rtol=0, atol=1e-7)
+    assert float(jnp.abs(g["radiance"]).max()) > 0
+    assert float(jnp.abs(g_anchor["radiance"]).max()) == 0
