@@ -15,3 +15,10 @@ grep -a -E "PSNR|SSIM|IoU|logMSE|log_mse|crf|L2|metric" "$LOG" | tail -25
 echo "== checkpoint correlation receipts -> $OUT =="
 env PYTHONPATH=/root/repo JAX_PLATFORMS=cpu METALLIC_AMP=0.8 \
   python probes/scale_shuffle_check.py "$ROOT" "$EXP" | tee "$OUT"
+# preserve the training scalar logs (outputs/ is gitignored+ephemeral;
+# round-2's logs were lost this way — PERF.md receipts policy)
+mkdir -p "records/${EXP}_logs"
+for d in outputs/$EXP/*/train_log.jsonl; do
+  [ -f "$d" ] && cp "$d" "records/${EXP}_logs/$(basename "$(dirname "$d")")_train_log.jsonl"
+done
+echo "saved logs: $(ls records/${EXP}_logs 2>/dev/null | wc -l)"
