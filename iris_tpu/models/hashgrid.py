@@ -87,6 +87,15 @@ class HashGridConfig:
     # NOT the reference parameterization — opt-in, quality-gated like
     # fwd_level_sample. packed_gather is ignored in row mode.
     row_gather: bool = field(default=False, metadata=dict(static=True))
+    # Store the row-mode table NATIVELY as (L*T, F) instead of flat with
+    # a trace-time reshape. Hypothesis under test (TODO.md round-5): the
+    # flat<->row reshapes around the (L*T, F) cotangent (zero init,
+    # scatter target, reshape back to the flat param) each touch the
+    # array in the (8,128)-tiled layout — 128/F x lane padding — and
+    # account for the unattributed ~45 ms of the 8Lx8F encode backward.
+    # Default OFF until the device A/B lands (changes the param pytree:
+    # checkpoints are layout-compatible only within one setting).
+    row_native_layout: bool = field(default=False, metadata=dict(static=True))
 
     @property
     def table_size(self) -> int:
@@ -111,13 +120,22 @@ def auto_bwd_level_sample(n_levels: int, ratio: int = 4) -> int:
 
 
 def init_hashgrid(key: jax.Array, cfg: HashGridConfig) -> jnp.ndarray:
-    """Table params as a FLAT (F * L * T,) array, uniform(-1e-4, 1e-4).
+    """Table params, uniform(-1e-4, 1e-4).
 
-    1-D on purpose: a (L*T, F=2) array gets the (8,128)-tiled TPU layout —
-    the 2-wide minor dim pads to 128 lanes, a 64x memory/traffic blowup on
-    every read of the parameter. Feature j's level tables live at
-    [j*L*T, (j+1)*L*T).
+    Default: FLAT (F * L * T,). 1-D on purpose: a (L*T, F=2) array gets
+    the (8,128)-tiled TPU layout — the 2-wide minor dim pads to 128
+    lanes, a 64x memory/traffic blowup on every read of the parameter.
+    Feature j's level tables live at [j*L*T, (j+1)*L*T).
+
+    With cfg.row_gather + cfg.row_native_layout: (L*T, F) feature-minor
+    rows — the layout every row-mode access already uses, stored
+    natively so no flat<->row reshapes appear in the program (see the
+    config field's hypothesis note).
     """
+    if cfg.row_gather and cfg.row_native_layout:
+        return jax.random.uniform(
+            key, (cfg.n_levels * cfg.table_size, cfg.n_features),
+            jnp.float32, -1e-4, 1e-4)
     n = cfg.n_features * cfg.n_levels * cfg.table_size
     return jax.random.uniform(key, (n,), jnp.float32, -1e-4, 1e-4)
 
@@ -518,8 +536,11 @@ def hashgrid_encode(
             cell[2] + bits[2].astype(jnp.uint32),
         )
 
-    rows = (table.reshape(cfg.n_levels * cfg.table_size, cfg.n_features)
-            if cfg.row_gather else None)
+    rows = None
+    if cfg.row_gather:
+        rows = (table if table.ndim == 2
+                else table.reshape(cfg.n_levels * cfg.table_size,
+                                   cfg.n_features))
 
     if stoch and cfg.stochastic_fwd:
         # 1 gather + (in bwd) 1 scatter per feature, both at the sampled

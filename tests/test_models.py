@@ -542,3 +542,43 @@ def test_hashgrid_fwd_level_sample_unbiased():
     with pytest.raises(ValueError, match="stochastic_fwd"):
         hashgrid_encode(table, replace(cfg0, stochastic_fwd=False), x,
                         jax.random.PRNGKey(0))
+
+
+def test_row_native_layout_equivalence():
+    """row_native_layout stores the row-mode table as (L*T, F) natively;
+    outputs and gradients must be bit-equal to the flat layout holding
+    the same values (the layouts differ only by a reshape)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from dataclasses import replace
+
+    from iris_tpu.models.hashgrid import (
+        HashGridConfig, hashgrid_encode, init_hashgrid,
+    )
+
+    base = HashGridConfig(n_levels=4, n_features=8, log2_table_size=10,
+                          per_level_scale=2.0, row_gather=True,
+                          stochastic_fwd=True, stochastic_bwd=True,
+                          bwd_level_sample=2)
+    native = replace(base, row_native_layout=True)
+    t_flat = init_hashgrid(jax.random.PRNGKey(0), base)
+    t_rows = t_flat.reshape(base.n_levels * base.table_size,
+                            base.n_features)
+    assert init_hashgrid(jax.random.PRNGKey(0), native).shape == \
+        t_rows.shape
+
+    x = jax.random.uniform(jax.random.PRNGKey(1), (257, 3))
+    for key in (None, jax.random.PRNGKey(2)):
+        cfg_f = base if key is not None else replace(
+            base, stochastic_fwd=False, stochastic_bwd=False)
+        cfg_n = replace(cfg_f, row_native_layout=True)
+        out_f = hashgrid_encode(t_flat, cfg_f, x, key)
+        out_n = hashgrid_encode(t_rows, cfg_n, x, key)
+        np.testing.assert_array_equal(np.asarray(out_f), np.asarray(out_n))
+        g_f = jax.grad(lambda t: jnp.sum(
+            hashgrid_encode(t, cfg_f, x, key) ** 2))(t_flat)
+        g_n = jax.grad(lambda t: jnp.sum(
+            hashgrid_encode(t, cfg_n, x, key) ** 2))(t_rows)
+        np.testing.assert_array_equal(
+            np.asarray(g_f).reshape(g_n.shape), np.asarray(g_n))
