@@ -88,12 +88,12 @@ class HashGridConfig:
     # fwd_level_sample. packed_gather is ignored in row mode.
     row_gather: bool = field(default=False, metadata=dict(static=True))
     # Store the row-mode table NATIVELY as (L*T, F) instead of flat with
-    # a trace-time reshape. Hypothesis under test (TODO.md round-5): the
-    # flat<->row reshapes around the (L*T, F) cotangent (zero init,
-    # scatter target, reshape back to the flat param) each touch the
-    # array in the (8,128)-tiled layout — 128/F x lane padding — and
-    # account for the unattributed ~45 ms of the 8Lx8F encode backward.
-    # Default OFF until the device A/B lands (changes the param pytree:
+    # a trace-time reshape. Bit-equal to the flat layout (unit-tested)
+    # and device-measured NEUTRAL: encode fwd+bwd 89.53 vs 89.69 ms,
+    # full step 96.20 vs 96.22 ms (records/rownative_r4.log) — XLA
+    # already keeps the reshape free, refuting the round-4 tiled-layout
+    # hypothesis for the encode-backward residue. Kept as a documented
+    # negative result; default OFF (changes the param pytree:
     # checkpoints are layout-compatible only within one setting).
     row_native_layout: bool = field(default=False, metadata=dict(static=True))
 
