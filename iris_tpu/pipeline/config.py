@@ -54,7 +54,10 @@ default_options = {
     # rays/s/chip, PERF.md round-3f), where the scalar-gather latency
     # wall is the chip's weakest axis. Quality receipts: equal-capacity
     # arms indistinguishable at miniature (PERF.md round-3a addendum) and
-    # at the 256x192 production-scale record (PERF.md round-4).
+    # at the 256x192 production-scale record — grid-only A/B vs the r3d
+    # record on the bit-identical dataset: render PSNR 28.41 vs 28.35,
+    # every decomposition metric within noise (PERF.md round-4d,
+    # records/scale_r4a.log).
     # Reference-parity parameterization: --hash_levels 32
     # --hash_features 2 (kept exact; tests pin it explicitly).
     "hash_levels": {"type": int, "default": 8},
