@@ -1508,16 +1508,20 @@ def dense_vmem_bytes(tracer: Tracer) -> int:
             + pad8(-(-n_leaf_rows // LEAF_PACK))) * 128 * 4
 
 
-def dense_available(tracer: Tracer, budget: int = 12 << 20) -> bool:
-    """Budget rationale (round 4): the dense kernel stages the packed BVH
-    plus ONE (8, tile) ray block and one out block per grid step (~0.5 MB
-    at tile=8192, double-buffered), so a 12 MB BVH leaves ~3 MB of the
-    16 MB scoped-vmem headroom — unlike the (N,8)/(P,12) resident layout
-    whose 10 MB gate was set by in-jit compile OOMs (vmem_bytes docstring).
-    The bump matters: a 102K-face SAH tree (39% leaf padding) stages
-    10.8 MB, just over the old 10 MB gate, and fell to the HBM-streamed
-    kernel (0.71M rays/s full step, PERF.md round-3e) despite fitting
-    VMEM (device A/B: records/dense102k_ab_r4.log)."""
+def dense_available(tracer: Tracer, budget: int = 10 << 20) -> bool:
+    """Budget history (round 4): the gate was briefly widened to 12 MB so
+    a 102K-face SAH tree (10.8 MB staged — 39% leaf padding) would stay
+    VMEM-resident instead of streaming, and then REVERTED: the same-
+    timer device A/B at that size says the near-first paired_streamed
+    walk BEATS dense-resident — full train step 292.8 ms (0.885M rays/s)
+    vs 316.3 ms (0.819M), records/policy102k_scan_r4.log; the python-
+    loop harness agrees (363 vs 388 ms, records/dense102k_ab_r4b.log,
+    position-independent across arm orders). Both kernels traverse
+    near-first with pop-time pruning; the dense layout's per-pop SLOT
+    EXTRACTION (picking one 16-lane pair out of a packed 128-lane row)
+    costs more than the streamed kernel's window DMAs at this tree
+    size. 10 MB keeps dense available for the mid-size trees where it
+    was originally measured ahead of streaming (PERF.md round-3b)."""
     return (tracer.layout == "preorder" and tracer.n_nodes > 1
             and tracer.leaf_size * 12 <= 64
             and dense_vmem_bytes(tracer) <= budget)

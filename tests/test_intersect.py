@@ -118,10 +118,12 @@ def test_pallas_mode_policy_cpu():
 
 
 def test_kernel_gates_round4_policy():
-    """Locks the round-4 auto-policy inputs: a ~102K-face SAH tree (39%
-    leaf padding) must pass the widened 12 MB dense-resident gate while
-    still failing the paired gate — the regime that previously fell to
-    the HBM-streamed kernel at 0.71M rays/s (PERF.md round-4b)."""
+    """Locks the round-4 auto-policy outcome at ~102K faces: the tree
+    (10.8 MB dense-staged, 39% leaf padding) must STREAM — the same-
+    timer device A/B says paired_streamed beats dense-resident there
+    (0.885M vs 0.819M rays/s full step, records/policy102k_scan_r4.log;
+    the 12 MB gate experiment was reverted, pallas_intersect.
+    dense_available docstring)."""
     from iris_tpu.demo import make_demo_scene
     from iris_tpu.geometry import pallas_intersect as pi
 
@@ -129,7 +131,7 @@ def test_kernel_gates_round4_policy():
                                  log2_table=8)
     assert tracer.n_faces > 100_000
     assert not pi.paired_available(tracer)          # 34.6 MB staged
-    assert pi.dense_available(tracer)               # 10.8 MB <= 12 MB
-    assert not pi.dense_available(tracer, budget=10 << 20)  # old gate: no
-    # beyond-dense sizes keep streaming
+    assert not pi.dense_available(tracer)           # 10.8 MB > 10 MB gate
+    assert pi.dense_available(tracer, budget=12 << 20)  # the A/B'd dial
+    # the selected regime: near-first paired traversal through HBM windows
     assert pi.paired_streamed_available(tracer)
