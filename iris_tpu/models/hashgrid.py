@@ -96,6 +96,23 @@ class HashGridConfig:
     # negative result; default OFF (changes the param pytree:
     # checkpoints are layout-compatible only within one setting).
     row_native_layout: bool = field(default=False, metadata=dict(static=True))
+    # COMPACT per-level-block gradient scatter (row mode): scatter each
+    # sampled level's cotangents into its own (T, F) buffer and place the
+    # buffers into the full-table cotangent with dynamic_update_slice.
+    # Round-5 device attribution: scatter cost is set by the TARGET
+    # working-set size, not update layout — (524K, 8) rows into the full
+    # 134 MB (L*T, F) run at ~90-100 ns/row vs ~21 ns/row into a <=8 MB
+    # target (records/scatter_size_r5.log; all four layout formulations
+    # of the full-size scatter measured equal, refuting the round-4g
+    # transposed-tiling theory). With bwd_level_sample active the updates
+    # touch exactly bwd_k level blocks, so per-block compact scatters ride
+    # the fast tier. bwd_scatter_dtype="bfloat16" halves the buffer to
+    # 8 MB (28 ns/row measured vs 54 for the 16 MB f32 block); collisions
+    # are rare (<=0.5 updates/row) so accumulation precision is set by a
+    # single bf16 round (~0.4% rel) — noise-dominated by the stochastic
+    # corner estimator itself. Set "float32" for exact accumulation.
+    bwd_compact_scatter: bool = field(default=True, metadata=dict(static=True))
+    bwd_scatter_dtype: str = field(default="bfloat16", metadata=dict(static=True))
 
     @property
     def table_size(self) -> int:
@@ -337,12 +354,20 @@ _stoch_lookup_p.defvjp(_stoch_lookup_fwd, _stoch_lookup_bwd)
 # ---------------------------------------------------------- row-mode lookups
 # (HashGridConfig.row_gather: feature-minor (L*T, F) rows, one gather/corner)
 
-def _row_scatter_chosen(g_rows, chosen_idx, phase, lt, levels, bwd_k):
+def _row_scatter_chosen(g_rows, chosen_idx, phase, lt, levels, bwd_k,
+                        tsize=0, compact=None):
     """(M, F) cotangent -> (L*T, F) table cotangent via ONE row scatter per
-    query at the sampled corner row (row-8 scatter 20.4 ns/row vs F x 10.7
-    ns scalar, PERF.md round-2e). Same strided level-block subsampling as
-    _scatter_chosen: flat m = q*levels + lvl, lvl = j*stride + phase."""
+    query at the sampled corner row. Same strided level-block subsampling
+    as _scatter_chosen: flat m = q*levels + lvl, lvl = j*stride + phase.
+
+    With `compact` (HashGridConfig.bwd_compact_scatter): scatter each
+    sampled level's rows into a per-level (T, F) buffer — every index in
+    one slot column shares a level block by construction — then place the
+    buffers with dynamic_update_slice. Target-size cliffs make the small
+    buffers ~3-5x faster per row than the full-table scatter
+    (records/scatter_size_r5.log, round-5)."""
     f = g_rows.shape[1]
+    k_slots = levels or 1
     if bwd_k and levels and bwd_k < levels:
         stride = levels // bwd_k
         b = chosen_idx.shape[0] // levels
@@ -355,7 +380,22 @@ def _row_scatter_chosen(g_rows, chosen_idx, phase, lt, levels, bwd_k):
         g_rows = jax.lax.squeeze(
             jax.lax.dynamic_slice_in_dim(g4, phase, 1, axis=2),
             (2,)).reshape(b * bwd_k, f) * scale
-    return jnp.zeros((lt, f), g_rows.dtype).at[chosen_idx].add(g_rows)
+        k_slots = bwd_k
+    if not (compact and 0 < tsize < lt):
+        return jnp.zeros((lt, f), g_rows.dtype).at[chosen_idx].add(g_rows)
+    out_dtype = g_rows.dtype
+    acc_dtype = jnp.bfloat16 if compact == "bfloat16" else out_dtype
+    b = chosen_idx.shape[0] // k_slots
+    idx2 = chosen_idx.reshape(b, k_slots)
+    g3 = g_rows.astype(acc_dtype).reshape(b, k_slots, f)
+    full = jnp.zeros((lt, f), out_dtype)
+    for j in range(k_slots):
+        local = idx2[:, j] & (tsize - 1)
+        base = (idx2[0, j] // tsize) * tsize   # uniform block per slot
+        buf = jnp.zeros((tsize, f), acc_dtype).at[local].add(g3[:, j])
+        full = jax.lax.dynamic_update_slice_in_dim(
+            full, buf.astype(out_dtype), base, axis=0)
+    return full
 
 
 def _row_lookup_impl(rows, idxs, weights):
@@ -387,21 +427,23 @@ def _row_weighted_bwd(res, g):
 _row_weighted_p.defvjp(_row_weighted_fwd, _row_weighted_bwd)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
-def _row_stoch_bwd_p(rows, idxs, weights, chosen_idx, phase, levels, bwd_k):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))
+def _row_stoch_bwd_p(rows, idxs, weights, chosen_idx, phase, levels, bwd_k,
+                     tsize=0, compact=None):
     return _row_lookup_impl(rows, idxs, weights)
 
 
 def _row_stoch_bwd_fwd(rows, idxs, weights, chosen_idx, phase, levels,
-                       bwd_k):
+                       bwd_k, tsize=0, compact=None):
     out = _row_lookup_impl(rows, idxs, weights)
     return out, (chosen_idx, phase, rows.shape[0], idxs.shape,
                  weights.shape)
 
 
-def _row_stoch_bwd_bwd(levels, bwd_k, res, g):
+def _row_stoch_bwd_bwd(levels, bwd_k, tsize, compact, res, g):
     chosen_idx, phase, lt, ishape, wshape = res
-    return (_row_scatter_chosen(g, chosen_idx, phase, lt, levels, bwd_k),
+    return (_row_scatter_chosen(g, chosen_idx, phase, lt, levels, bwd_k,
+                                tsize, compact),
             jnp.zeros(ishape, jax.dtypes.float0),
             jnp.zeros(wshape, jnp.float32),
             jnp.zeros(chosen_idx.shape, jax.dtypes.float0),
@@ -411,18 +453,21 @@ def _row_stoch_bwd_bwd(levels, bwd_k, res, g):
 _row_stoch_bwd_p.defvjp(_row_stoch_bwd_fwd, _row_stoch_bwd_bwd)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
-def _row_stoch_p(rows, chosen_idx, phase, levels, bwd_k):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def _row_stoch_p(rows, chosen_idx, phase, levels, bwd_k, tsize=0,
+                 compact=None):
     return rows[chosen_idx]
 
 
-def _row_stoch_fwd(rows, chosen_idx, phase, levels, bwd_k):
+def _row_stoch_fwd(rows, chosen_idx, phase, levels, bwd_k, tsize=0,
+                   compact=None):
     return rows[chosen_idx], (chosen_idx, phase, rows.shape[0])
 
 
-def _row_stoch_bwd2(levels, bwd_k, res, g):
+def _row_stoch_bwd2(levels, bwd_k, tsize, compact, res, g):
     chosen_idx, phase, lt = res
-    return (_row_scatter_chosen(g, chosen_idx, phase, lt, levels, bwd_k),
+    return (_row_scatter_chosen(g, chosen_idx, phase, lt, levels, bwd_k,
+                                tsize, compact),
             jnp.zeros(chosen_idx.shape, jax.dtypes.float0),
             jnp.zeros(phase.shape, jax.dtypes.float0))
 
@@ -547,7 +592,10 @@ def hashgrid_encode(
         # corner — the full 8-corner index/weight arrays are never built.
         chosen_idx = jax.lax.optimization_barrier(chosen_idx)
         if cfg.row_gather:
-            fr = _row_stoch_p(rows, chosen_idx, phase, l_eff, bwd_k)
+            compact = (cfg.bwd_scatter_dtype
+                       if cfg.bwd_compact_scatter else None)
+            fr = _row_stoch_p(rows, chosen_idx, phase, l_eff, bwd_k,
+                              cfg.table_size, compact)
         else:
             feats = _stoch_lookup_p(table, chosen_idx, phase,
                                     cfg.n_features, blk, packed, l_eff,
@@ -574,8 +622,11 @@ def hashgrid_encode(
         if cfg.row_gather:
             if stoch and cfg.stochastic_bwd:
                 chosen_idx = jax.lax.optimization_barrier(chosen_idx)
+                compact = (cfg.bwd_scatter_dtype
+                           if cfg.bwd_compact_scatter else None)
                 fr = _row_stoch_bwd_p(rows, idxs, weights, chosen_idx,
-                                      phase, l_eff, bwd_k)
+                                      phase, l_eff, bwd_k,
+                                      cfg.table_size, compact)
             else:
                 fr = _row_weighted_p(rows, idxs, weights)
         elif stoch and cfg.stochastic_bwd:

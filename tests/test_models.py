@@ -582,3 +582,57 @@ def test_row_native_layout_equivalence():
             hashgrid_encode(t, cfg_n, x, key) ** 2))(t_rows)
         np.testing.assert_array_equal(
             np.asarray(g_f).reshape(g_n.shape), np.asarray(g_n))
+
+
+def test_hashgrid_compact_scatter_equivalence():
+    """bwd_compact_scatter reformulates the row-mode gradient scatter as
+    per-level-block (T, F) buffer scatters + dynamic_update_slice placement
+    (scatter cost is set by target working-set size — PERF.md round 5,
+    records/scatter_size_r5.log). float32 compact must match the full-table
+    scatter to fp-reassociation tolerance; bfloat16 compact (the production
+    default, 8 MB buffers) must match to bf16 rounding; and a compact draw
+    must touch exactly the sampled level blocks."""
+    from dataclasses import replace
+
+    base = HashGridConfig(n_levels=4, n_features=8, log2_table_size=8,
+                          base_resolution=4, per_level_scale=1.7,
+                          row_gather=True, stochastic_fwd=True,
+                          stochastic_bwd=True, bwd_level_sample=2,
+                          bwd_compact_scatter=False)
+    c_f32 = replace(base, bwd_compact_scatter=True,
+                    bwd_scatter_dtype="float32")
+    c_bf16 = replace(base, bwd_compact_scatter=True,
+                     bwd_scatter_dtype="bfloat16")
+    table = init_hashgrid(jax.random.PRNGKey(0), base) * 1e4
+    x = jax.random.uniform(jax.random.PRNGKey(1), (257, 3))
+
+    def grad_of(cfg, key, stoch_fwd=True):
+        cfg = cfg if stoch_fwd else replace(cfg, stochastic_fwd=False)
+        return jax.grad(lambda t: jnp.sum(
+            hashgrid_encode(t, cfg, x, key) ** 2))(table)
+
+    for stoch_fwd in (True, False):   # _row_stoch_p and _row_stoch_bwd_p
+        key = jax.random.PRNGKey(2 + stoch_fwd)
+        g_ref = grad_of(base, key, stoch_fwd)
+        g_f32 = grad_of(c_f32, key, stoch_fwd)
+        g_bf = grad_of(c_bf16, key, stoch_fwd)
+        scale = float(jnp.abs(g_ref).max())
+        assert np.allclose(g_f32, g_ref, atol=1e-5 * scale)
+        assert np.allclose(g_bf, g_ref, atol=1.2e-2 * scale)
+        # grad cosine: bf16 rounding must not steer the update direction
+        cos = float(jnp.vdot(g_bf, g_ref)
+                    / (jnp.linalg.norm(g_bf) * jnp.linalg.norm(g_ref)))
+        assert cos > 0.999, cos
+        # compact draw touches exactly the bwd_k sampled level blocks
+        L, T, F = base.n_levels, base.table_size, base.n_features
+        per_level = np.abs(np.asarray(g_bf)).reshape(L, T * F).sum(-1)
+        assert (per_level > 0).sum() <= base.bwd_level_sample, per_level
+
+    # bwd_k=0 (all levels) compact path: slot-per-level structure
+    full = replace(c_bf16, bwd_level_sample=0)
+    full_ref = replace(base, bwd_level_sample=0)
+    key = jax.random.PRNGKey(9)
+    g_ref = grad_of(full_ref, key)
+    g_bf = grad_of(full, key)
+    scale = float(jnp.abs(g_ref).max())
+    assert np.allclose(g_bf, g_ref, atol=1.2e-2 * scale)
