@@ -249,7 +249,7 @@ _weighted_lookup_packed_p.defvjp(_weighted_lookup_packed_fwd,
 # ------------------------------------------------- stochastic-corner lookups
 
 def _scatter_chosen(g, chosen_idx, phase, n_features, block, tsize,
-                    levels=0, bwd_k=0):
+                    levels=0, bwd_k=0, tbl=0, compact=False):
     """Cotangent via ONE f32 1-D scatter per feature at the sampled corner.
 
     Unbiased: the corner was sampled with its trilinear weight as
@@ -258,8 +258,15 @@ def _scatter_chosen(g, chosen_idx, phase, n_features, block, tsize,
 
     With bwd_k in (0, levels): strided level-block subsampling — keep only
     levels {j*stride + phase} (a strided SLICE of the level-minor (B, L)
-    layout, no gathers), scale by stride. E over phase = full cotangent."""
+    layout, no gathers), scale by stride. E over phase = full cotangent.
+
+    With `compact` (bwd_compact_scatter): per-(feature, level-block)
+    scatters into (T,) buffers — 2 MB each, the fast scatter tier (see
+    _row_scatter_chosen / PERF.md round 5) — placed into the flat
+    cotangent with dynamic_update_slice. f32 buffers (already fast at
+    2 MB; no precision trade needed, unlike the 16 MB row-mode blocks)."""
     cols = [g[j] for j in range(g.shape[0])]
+    k_slots = levels or 1
     if bwd_k and levels and bwd_k < levels:
         stride = levels // bwd_k
         b = chosen_idx.shape[0] // levels
@@ -274,32 +281,52 @@ def _scatter_chosen(g, chosen_idx, phase, n_features, block, tsize,
 
         chosen_idx = sel(chosen_idx)
         cols = [sel(c) * scale for c in cols]
+        k_slots = bwd_k
+    # cap the unroll: past ~32 slot-scatters the per-slot row counts are
+    # small and compile size dominates any residency win
+    if not (compact and 0 < tbl < block and k_slots * len(cols) <= 32):
+        acc = jnp.zeros((tsize,), cols[0].dtype)
+        for j, c in enumerate(cols):
+            acc = acc.at[chosen_idx + j * block].add(c)
+        return acc
+    b = chosen_idx.shape[0] // k_slots
+    idx2 = chosen_idx.reshape(b, k_slots)
     acc = jnp.zeros((tsize,), cols[0].dtype)
-    for j, c in enumerate(cols):
-        acc = acc.at[chosen_idx + j * block].add(c)
+    for s in range(k_slots):
+        local = idx2[:, s] & (tbl - 1)
+        base = (idx2[0, s] // tbl) * tbl   # uniform level block per slot
+        for j, c in enumerate(cols):
+            buf = jnp.zeros((tbl,), c.dtype).at[local].add(
+                c.reshape(b, k_slots)[:, s])
+            acc = jax.lax.dynamic_update_slice(acc, buf,
+                                               (base + j * block,))
     return acc
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9, 10, 11))
 def _lookup_stoch_bwd_p(table, idxs, weights, chosen_idx, phase,
-                        n_features, block, packed, levels, bwd_k):
+                        n_features, block, packed, levels, bwd_k,
+                        tbl=0, compact=False):
     if packed:
         return _lookup_packed_impl(table, idxs, weights, block)
     return _lookup_impl(table, idxs, weights, n_features, block)
 
 
 def _lookup_stoch_bwd_fwd(table, idxs, weights, chosen_idx, phase,
-                          n_features, block, packed, levels, bwd_k):
+                          n_features, block, packed, levels, bwd_k,
+                          tbl=0, compact=False):
     out = _lookup_stoch_bwd_p(table, idxs, weights, chosen_idx, phase,
-                              n_features, block, packed, levels, bwd_k)
+                              n_features, block, packed, levels, bwd_k,
+                              tbl, compact)
     return out, (chosen_idx, phase, table.shape[0], idxs.shape,
                  weights.shape)
 
 
-def _lookup_stoch_bwd_bwd(n_features, block, packed, levels, bwd_k, res, g):
+def _lookup_stoch_bwd_bwd(n_features, block, packed, levels, bwd_k, tbl,
+                          compact, res, g):
     chosen_idx, phase, tsize, ishape, wshape = res
     d_table = _scatter_chosen(g, chosen_idx, phase, n_features, block,
-                              tsize, levels, bwd_k)
+                              tsize, levels, bwd_k, tbl, compact)
     return (d_table,
             jnp.zeros(ishape, jax.dtypes.float0),
             jnp.zeros(wshape, jnp.float32),
@@ -328,22 +355,23 @@ def _stoch_gather_impl(table, chosen_idx, n_features, block, packed):
         [table[chosen_idx + j * block] for j in range(n_features)], 0)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8, 9))
 def _stoch_lookup_p(table, chosen_idx, phase, n_features, block, packed,
-                    levels, bwd_k):
+                    levels, bwd_k, tbl=0, compact=False):
     return _stoch_gather_impl(table, chosen_idx, n_features, block, packed)
 
 
 def _stoch_lookup_fwd(table, chosen_idx, phase, n_features, block, packed,
-                      levels, bwd_k):
+                      levels, bwd_k, tbl=0, compact=False):
     return (_stoch_gather_impl(table, chosen_idx, n_features, block, packed),
             (chosen_idx, phase, table.shape[0]))
 
 
-def _stoch_lookup_bwd(n_features, block, packed, levels, bwd_k, res, g):
+def _stoch_lookup_bwd(n_features, block, packed, levels, bwd_k, tbl,
+                      compact, res, g):
     chosen_idx, phase, tsize = res
     d_table = _scatter_chosen(g, chosen_idx, phase, n_features, block,
-                              tsize, levels, bwd_k)
+                              tsize, levels, bwd_k, tbl, compact)
     return (d_table, jnp.zeros(chosen_idx.shape, jax.dtypes.float0),
             jnp.zeros(phase.shape, jax.dtypes.float0))
 
@@ -599,7 +627,8 @@ def hashgrid_encode(
         else:
             feats = _stoch_lookup_p(table, chosen_idx, phase,
                                     cfg.n_features, blk, packed, l_eff,
-                                    bwd_k)
+                                    bwd_k, cfg.table_size,
+                                    cfg.bwd_compact_scatter)
     else:
         idxs = []
         weights = []
@@ -633,7 +662,8 @@ def hashgrid_encode(
             chosen_idx = jax.lax.optimization_barrier(chosen_idx)
             feats = _lookup_stoch_bwd_p(table, idxs, weights, chosen_idx,
                                         phase, cfg.n_features, blk, packed,
-                                        l_eff, bwd_k)
+                                        l_eff, bwd_k, cfg.table_size,
+                                        cfg.bwd_compact_scatter)
         elif packed:
             feats = _weighted_lookup_packed_p(table, idxs, weights, blk)
         else:

@@ -636,3 +636,33 @@ def test_hashgrid_compact_scatter_equivalence():
     g_bf = grad_of(full, key)
     scale = float(jnp.abs(g_ref).max())
     assert np.allclose(g_bf, g_ref, atol=1.2e-2 * scale)
+
+
+def test_hashgrid_compact_scatter_flat_path():
+    """The flat-table (reference 32x2 parameterization) stochastic backward
+    gets the same per-(feature, level-block) compact treatment, f32 buffers
+    (2 MB tier). Must match the full-table scatter to fp-reassociation
+    tolerance on both the packed and unpacked paths, with and without
+    level subsampling."""
+    from dataclasses import replace
+
+    base = HashGridConfig(n_levels=4, n_features=2, log2_table_size=8,
+                          base_resolution=4, per_level_scale=1.7,
+                          stochastic_fwd=False, stochastic_bwd=True,
+                          bwd_compact_scatter=False)
+    table = init_hashgrid(jax.random.PRNGKey(0), base) * 1e4
+    x = jax.random.uniform(jax.random.PRNGKey(1), (257, 3))
+
+    for packed in (True, False):
+        for bwd_k, stoch_fwd in ((2, False), (0, False), (2, True)):
+            cfg_ref = replace(base, packed_gather=packed,
+                              bwd_level_sample=bwd_k,
+                              stochastic_fwd=stoch_fwd)
+            cfg_c = replace(cfg_ref, bwd_compact_scatter=True)
+            key = jax.random.PRNGKey(3 + bwd_k)
+            g_ref, g_c = (jax.grad(lambda t, c=c: jnp.sum(
+                hashgrid_encode(t, c, x, key) ** 2))(table)
+                for c in (cfg_ref, cfg_c))
+            scale = float(jnp.abs(g_ref).max())
+            assert np.allclose(g_c, g_ref, atol=1e-5 * scale), (
+                packed, bwd_k, stoch_fwd)
