@@ -30,6 +30,7 @@ def make_demo_scene(
     seed: int = 0,
     hash_features: int = 2,
     per_level_scale: float = 1.3,
+    leaf_size: int = 4,
 ):
     """Returns (tracer, emitter, ngp_params, crf, mesh).
 
@@ -37,9 +38,11 @@ def make_demo_scene(
     default parameterization, pipeline/config.py hash_levels/hash_features);
     per_level_scale -1 = auto: span the reference 32-level resolution range
     (16 .. 16*1.3^31, model/brdf.py:227) at any level count. The default
-    1.3 keeps the historical demo-scene resolutions (golden tests)."""
+    1.3 keeps the historical demo-scene resolutions (golden tests).
+    leaf_size: BVH triangles per leaf (tile-walk cost dial — bigger leaves
+    trade pair-pop iterations for vectorized MT folds, probes/leafsize_ab)."""
     mesh, is_em = make_box_scene(n_clutter=n_clutter, seed=seed)
-    tracer = build_bvh(mesh.triangles())
+    tracer = build_bvh(mesh.triangles(), leaf_size=leaf_size)
     mask = np.ones((slf_res,) * 3, bool)
     slf = init_voxel_slf(mask, -0.1, 2.1)
     em = make_emitter(

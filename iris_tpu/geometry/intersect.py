@@ -421,28 +421,41 @@ def _pallas_mode(tracer: Tracer, n_rays: int) -> str | None:
             if (paired_pref == "1" or tracer.n_faces >= 5000
                     or not pallas_available(tracer)):
                 return "paired"
+        # Past the paired-resident gate, the near-first paired traversal
+        # through HBM windows beats the lane-dense resident kernel at
+        # EVERY same-timer-measured size — 42K faces: 196.8 vs 204.4 ms
+        # full step, 72K: 236.0 vs 257.2 (records/window_policy_r5.log;
+        # dense ran FIRST in that shared process, so the known arm-2 slow
+        # bias can only understate the ps win), 102K: 292.8 vs 316.3
+        # (records/policy102k_scan_r4.log) — so paired_streamed now
+        # outranks dense in auto mode (round-5 policy fix, VERDICT item
+        # 3). dense stays one flag away (IRIS_TPU_DENSE=1) for A/Bs.
+        from iris_tpu.geometry.pallas_intersect import (
+            dense_streamed_available, paired_streamed_available)
+
+        if (not paired_available(tracer)
+                and os.environ.get("IRIS_TPU_PAIRED_STREAMED", "auto")
+                != "0" and paired_streamed_available(tracer)):
+            return "paired_streamed"
         if dense_pref != "0" and dense_available(tracer):
             # the lane-dense layout (PAIR_PACK pairs + LEAF_PACK leaves per
             # 128-lane row) stages ~10x less VMEM than (N,8)/(P,12) and
-            # ~3x less than paired, so ~100K-face scenes stay VMEM-resident
-            # where even the paired gate rejects them (device-measured
-            # 1.15x coherent / 13x incoherent over streamed at 24K faces,
-            # PERF.md round-3b)
+            # ~3x less than paired (device-measured 1.15x coherent / 13x
+            # incoherent over the PLAIN streamed kernel at 24K faces,
+            # PERF.md round-3b) — reached in auto mode only when the
+            # paired-streamed gate rejects the tracer (leaf rows > 128
+            # lanes or a non-preorder layout)
             if not paired_available(tracer):
                 return "dense"
         if pallas_available(tracer):
             return "resident"
         if pallas_streamable(tracer):
-            # beyond every resident gate: near-first paired traversal
-            # through HBM windows replaces the single-cursor union walk
-            # (IRIS_TPU_PAIRED_STREAMED=0 restores the plain streamed
-            # kernel for A/B). IRIS_TPU_DENSE_STREAMED=1 opts into the
-            # dense-packed streamed kernel (8 pairs / 2 leaves per DMA'd
-            # 128-lane row, ~8x fewer HBM bytes on DMA-bound walks) —
-            # opt-in until device-A/B'd.
-            from iris_tpu.geometry.pallas_intersect import (
-                dense_streamed_available, paired_streamed_available)
-
+            # beyond every resident gate (IRIS_TPU_PAIRED_STREAMED=0
+            # restores the plain streamed kernel for A/B).
+            # IRIS_TPU_DENSE_STREAMED=1 opts into the dense-packed
+            # streamed kernel (8 pairs / 2 leaves per DMA'd 128-lane row,
+            # ~8x fewer HBM bytes on DMA-bound walks) — opt-in until
+            # device-A/B'd.
             if (os.environ.get("IRIS_TPU_DENSE_STREAMED", "0") == "1"
                     and dense_streamed_available(tracer)):
                 return "dense_streamed"

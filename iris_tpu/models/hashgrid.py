@@ -409,7 +409,12 @@ def _row_scatter_chosen(g_rows, chosen_idx, phase, lt, levels, bwd_k,
             jax.lax.dynamic_slice_in_dim(g4, phase, 1, axis=2),
             (2,)).reshape(b * bwd_k, f) * scale
         k_slots = bwd_k
-    if not (compact and 0 < tsize < lt):
+    # unroll cap mirrors the flat path's (:287): each slot unrolls one
+    # scatter + dynamic_update_slice, and a 32L config with
+    # bwd_level_sample=0 would otherwise emit 32 pairs — a compile-time
+    # blowup on a backend where fresh compiles already take 10-20 min.
+    # Past the cap, fall back to the single full-table scatter.
+    if not (compact and 0 < tsize < lt and k_slots <= 16):
         return jnp.zeros((lt, f), g_rows.dtype).at[chosen_idx].add(g_rows)
     out_dtype = g_rows.dtype
     acc_dtype = jnp.bfloat16 if compact == "bfloat16" else out_dtype
@@ -511,6 +516,12 @@ def hashgrid_encode(
 
     With `key` and cfg.stochastic_{bwd,fwd}, runs the unbiased
     stochastic-corner estimators (see HashGridConfig docstring)."""
+    if cfg.bwd_scatter_dtype not in ("bfloat16", "float32"):
+        # a typo ("bf16", "fp32") would otherwise silently fall back to
+        # float32 buffers and lose the 8 MB fast-tier optimization
+        raise ValueError(
+            f"bwd_scatter_dtype must be 'bfloat16' or 'float32', got "
+            f"{cfg.bwd_scatter_dtype!r}")
     b = x.shape[0]
     l = cfg.n_levels
     res_np = cfg.resolutions()

@@ -52,6 +52,53 @@ def test_sah_traversal_matches_brute(have_native):
     assert same.mean() > 0.99
 
 
+def test_sbvh_spatial_splits_match_brute(have_native):
+    """Spatial-split trees (alpha >= 0) duplicate references with clipped
+    node bounds; closest-hit results must be identical to brute force
+    (duplicate leaf entries are idempotent under the min-reduction)."""
+    mesh, _ = make_box_scene(n_clutter=12, seed=3)
+    tris = mesh.triangles()
+    nodes, rows = build_sah_arrays(tris, leaf_size=4, spatial_alpha=1e-3)
+    ids = rows[:, 9].astype(int)
+    real = ids[ids >= 0]
+    # every face still reachable; duplication happens but stays capped
+    assert set(real.tolist()) == set(range(len(tris)))
+    assert len(real) <= 1.8 * len(tris) + 1
+
+    import os
+
+    os.environ["IRIS_TPU_BVH_ALPHA"] = "1e-3"
+    try:
+        tracer = build_bvh(tris, method="sah")
+    finally:
+        del os.environ["IRIS_TPU_BVH_ALPHA"]
+    o, d = random_rays(512, seed=9)
+    p1, _, _, i1, v1 = ray_intersect(tracer, jnp.asarray(o), jnp.asarray(d))
+    p2, _, _, i2, v2 = ray_intersect_brute(jnp.asarray(tris), jnp.asarray(o),
+                                           jnp.asarray(d))
+    assert np.array_equal(np.asarray(v1), np.asarray(v2))
+    pv = np.asarray(v1)
+    assert np.allclose(np.asarray(p1)[pv], np.asarray(p2)[pv], atol=1e-3)
+
+
+def test_sah_bigger_leaves_match_brute(have_native):
+    """leaf_size dial (tile-walk cost lever, probes/leafsize_ab.py):
+    traversal must stay exact at any leaf_size the kernels accept."""
+    mesh, _ = make_box_scene(n_clutter=8, seed=5)
+    tris = mesh.triangles()
+    for ls in (8, 10):
+        tracer = build_bvh(tris, method="sah", leaf_size=ls)
+        o, d = random_rays(256, seed=ls)
+        p1, _, _, _, v1 = ray_intersect(tracer, jnp.asarray(o),
+                                        jnp.asarray(d))
+        p2, _, _, _, v2 = ray_intersect_brute(jnp.asarray(tris),
+                                              jnp.asarray(o), jnp.asarray(d))
+        assert np.array_equal(np.asarray(v1), np.asarray(v2))
+        pv = np.asarray(v1)
+        assert np.allclose(np.asarray(p1)[pv], np.asarray(p2)[pv],
+                           atol=1e-3)
+
+
 def test_sah_random_soup(have_native):
     rng = np.random.default_rng(11)
     tris = rng.uniform(-1, 1, size=(777, 3, 3)).astype(np.float32)

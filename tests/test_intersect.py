@@ -117,21 +117,22 @@ def test_pallas_mode_policy_cpu():
         del os.environ["IRIS_TPU_NO_PALLAS"]
 
 
-def test_kernel_gates_round4_policy():
-    """Locks the round-4 auto-policy outcome at ~102K faces: the tree
-    (10.8 MB dense-staged, 39% leaf padding) must STREAM — the same-
-    timer device A/B says paired_streamed beats dense-resident there
-    (0.885M vs 0.819M rays/s full step, records/policy102k_scan_r4.log;
-    the 12 MB gate experiment was reverted, pallas_intersect.
-    dense_available docstring)."""
+def test_kernel_gates_round5_policy():
+    """Locks the round-5 auto-policy outcome at ~102K faces: the 3-axis
+    binned-SAH tree (tighter than the round-4 single-axis one — its
+    dense staging now fits the 10 MB gate) must still STREAM, because
+    the same-timer device A/Bs say paired_streamed beats dense-resident
+    at every measured size in the window (42K/72K:
+    records/window_policy_r5.log; 102K: records/policy102k_scan_r4.log)
+    — the round-5 policy fix ranks paired_streamed above dense whenever
+    the paired-resident gate rejects the tracer."""
     from iris_tpu.demo import make_demo_scene
     from iris_tpu.geometry import pallas_intersect as pi
 
     tracer, *_ = make_demo_scene(n_clutter=8500, slf_res=8, hash_levels=2,
                                  log2_table=8)
     assert tracer.n_faces > 100_000
-    assert not pi.paired_available(tracer)          # 34.6 MB staged
-    assert not pi.dense_available(tracer)           # 10.8 MB > 10 MB gate
-    assert pi.dense_available(tracer, budget=12 << 20)  # the A/B'd dial
+    assert not pi.paired_available(tracer)          # too big to stage
+    assert pi.dense_available(tracer)               # fits, but loses A/Bs
     # the selected regime: near-first paired traversal through HBM windows
     assert pi.paired_streamed_available(tracer)
