@@ -178,7 +178,12 @@ class SyntheticDataset(_BaseDataset):
         self.cache_dir = cache_dir
         self.load_gt = load_gt
         self.load_inverse = load_inverse
-        self.has_part = has_part
+        # has_part claims the IndexMA part-id layout; real scenes without
+        # part annotations ship a semantic-only segmentation/ dir instead
+        # (reference synthetic_ldr.py has_part branch) — auto-fall back
+        # when IndexMA is absent so loaders survive either layout
+        self.has_part = has_part and os.path.isdir(
+            os.path.join(self.split_dir, "IndexMA"))
         self.val_frame = val_frame
         if img_dir is None:
             self.img_dir, self.albedo_dir = "Image", "irisformer/albedo"

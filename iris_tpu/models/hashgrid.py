@@ -113,6 +113,25 @@ class HashGridConfig:
     # corner estimator itself. Set "float32" for exact accumulation.
     bwd_compact_scatter: bool = field(default=True, metadata=dict(static=True))
     bwd_scatter_dtype: str = field(default="bfloat16", metadata=dict(static=True))
+    # Row-mode FORWARD gathers read a bfloat16 cast of the table (master
+    # params stay f32; features cast back to f32 after the gather).
+    # Device-measured (records/gather_block_r5.log, production shapes):
+    # 2.1M row-8 gathers 31.1 -> 12.4 ms (5.9 vs 14.9 ns/row — a 16 B
+    # bf16 row is one cache transaction where the 32 B f32 row is two).
+    # Applies ONLY to the stochastic-estimator paths (training); eval /
+    # render paths (no key) keep exact f32 gathers. Standard
+    # mixed-precision fwd: one deterministic bf16 round (~0.4% rel),
+    # noise-dominated by the stochastic corner estimator; quality
+    # unit-tested (cosine > 0.999). "float32" restores exact reads.
+    fwd_gather_dtype: str = field(default="bfloat16",
+                                  metadata=dict(static=True))
+    # Flat/packed mode (e.g. the 32Lx2F reference parameterization):
+    # issue the forward gather per LEVEL BLOCK with local indices instead
+    # of one global gather — each op's random accesses then stay inside
+    # one 2 MB block (the fast gather tier, records/gather_block_r5.log:
+    # 16.8M gathers 148.9 -> 124.0 ms). BIT-EXACT (same packed values),
+    # so default ON; capped at 32 unrolled blocks.
+    fwd_block_gather: bool = field(default=True, metadata=dict(static=True))
 
     @property
     def table_size(self) -> int:
@@ -337,7 +356,8 @@ def _lookup_stoch_bwd_bwd(n_features, block, packed, levels, bwd_k, tbl,
 _lookup_stoch_bwd_p.defvjp(_lookup_stoch_bwd_fwd, _lookup_stoch_bwd_bwd)
 
 
-def _stoch_gather_impl(table, chosen_idx, n_features, block, packed):
+def _stoch_gather_impl(table, chosen_idx, n_features, block, packed,
+                       levels=0, tbl=0, fwd_block=False):
     m = chosen_idx.shape[0]
     if packed:
         f0 = jax.lax.bitcast_convert_type(
@@ -345,7 +365,23 @@ def _stoch_gather_impl(table, chosen_idx, n_features, block, packed):
         f1 = jax.lax.bitcast_convert_type(
             table[block:].astype(jnp.bfloat16), jnp.uint16).astype(jnp.uint32)
         packed_t = jax.lax.optimization_barrier(f0 | (f1 << 16))
-        w = packed_t[chosen_idx]
+        if (fwd_block and levels and 0 < tbl < block and levels <= 32
+                and m % levels == 0):
+            # per-level-block gathers with local indices: confines each
+            # gather op's random accesses to one 2 MB level block (the
+            # fast tier) — BIT-EXACT vs the global gather (cfg.
+            # fwd_block_gather; flat m = q*levels + lvl, every column of
+            # the (B, L) view shares a level block by construction)
+            b = m // levels
+            idx2 = chosen_idx.reshape(b, levels)
+            outs = []
+            for s in range(levels):
+                base = (idx2[0, s] // tbl) * tbl
+                blk_t = jax.lax.dynamic_slice_in_dim(packed_t, base, tbl)
+                outs.append(blk_t[idx2[:, s] - base])
+            w = jnp.stack(outs, 1).reshape(-1)
+        else:
+            w = packed_t[chosen_idx]
         g0 = jax.lax.bitcast_convert_type(
             (w & 0xFFFF).astype(jnp.uint16), jnp.bfloat16).astype(jnp.float32)
         g1 = jax.lax.bitcast_convert_type(
@@ -355,20 +391,23 @@ def _stoch_gather_impl(table, chosen_idx, n_features, block, packed):
         [table[chosen_idx + j * block] for j in range(n_features)], 0)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8, 9))
+@functools.partial(jax.custom_vjp,
+                   nondiff_argnums=(3, 4, 5, 6, 7, 8, 9, 10))
 def _stoch_lookup_p(table, chosen_idx, phase, n_features, block, packed,
-                    levels, bwd_k, tbl=0, compact=False):
-    return _stoch_gather_impl(table, chosen_idx, n_features, block, packed)
+                    levels, bwd_k, tbl=0, compact=False, fwd_block=False):
+    return _stoch_gather_impl(table, chosen_idx, n_features, block, packed,
+                              levels, tbl, fwd_block)
 
 
 def _stoch_lookup_fwd(table, chosen_idx, phase, n_features, block, packed,
-                      levels, bwd_k, tbl=0, compact=False):
-    return (_stoch_gather_impl(table, chosen_idx, n_features, block, packed),
+                      levels, bwd_k, tbl=0, compact=False, fwd_block=False):
+    return (_stoch_gather_impl(table, chosen_idx, n_features, block, packed,
+                               levels, tbl, fwd_block),
             (chosen_idx, phase, table.shape[0]))
 
 
 def _stoch_lookup_bwd(n_features, block, packed, levels, bwd_k, tbl,
-                      compact, res, g):
+                      compact, fwd_block, res, g):
     chosen_idx, phase, tsize = res
     d_table = _scatter_chosen(g, chosen_idx, phase, n_features, block,
                               tsize, levels, bwd_k, tbl, compact)
@@ -460,20 +499,38 @@ def _row_weighted_bwd(res, g):
 _row_weighted_p.defvjp(_row_weighted_fwd, _row_weighted_bwd)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))
+def _row_cast(rows, gdtype):
+    """Mixed-precision forward reads (cfg.fwd_gather_dtype): gather from
+    a bf16 cast of the (L*T, F) rows — 16 B rows fetch at 5.9 vs 14.9
+    ns/row (records/gather_block_r5.log) — master params stay f32 and
+    the cast is a single streaming pass (~0.3 ms on the 134 MB table)."""
+    if gdtype == "bfloat16" and rows.dtype != jnp.bfloat16:
+        return rows.astype(jnp.bfloat16)
+    return rows
+
+
+def _row_lookup_gd(rows, idxs, weights, gdtype):
+    rcast = _row_cast(rows, gdtype)
+    acc = jnp.zeros((idxs.shape[1], rows.shape[1]), rows.dtype)
+    for k in range(idxs.shape[0]):
+        acc = acc + rcast[idxs[k]].astype(rows.dtype) * weights[k][:, None]
+    return acc
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9))
 def _row_stoch_bwd_p(rows, idxs, weights, chosen_idx, phase, levels, bwd_k,
-                     tsize=0, compact=None):
-    return _row_lookup_impl(rows, idxs, weights)
+                     tsize=0, compact=None, gdtype=None):
+    return _row_lookup_gd(rows, idxs, weights, gdtype)
 
 
 def _row_stoch_bwd_fwd(rows, idxs, weights, chosen_idx, phase, levels,
-                       bwd_k, tsize=0, compact=None):
-    out = _row_lookup_impl(rows, idxs, weights)
+                       bwd_k, tsize=0, compact=None, gdtype=None):
+    out = _row_lookup_gd(rows, idxs, weights, gdtype)
     return out, (chosen_idx, phase, rows.shape[0], idxs.shape,
                  weights.shape)
 
 
-def _row_stoch_bwd_bwd(levels, bwd_k, tsize, compact, res, g):
+def _row_stoch_bwd_bwd(levels, bwd_k, tsize, compact, gdtype, res, g):
     chosen_idx, phase, lt, ishape, wshape = res
     return (_row_scatter_chosen(g, chosen_idx, phase, lt, levels, bwd_k,
                                 tsize, compact),
@@ -486,18 +543,19 @@ def _row_stoch_bwd_bwd(levels, bwd_k, tsize, compact, res, g):
 _row_stoch_bwd_p.defvjp(_row_stoch_bwd_fwd, _row_stoch_bwd_bwd)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
 def _row_stoch_p(rows, chosen_idx, phase, levels, bwd_k, tsize=0,
-                 compact=None):
-    return rows[chosen_idx]
+                 compact=None, gdtype=None):
+    return _row_cast(rows, gdtype)[chosen_idx].astype(rows.dtype)
 
 
 def _row_stoch_fwd(rows, chosen_idx, phase, levels, bwd_k, tsize=0,
-                   compact=None):
-    return rows[chosen_idx], (chosen_idx, phase, rows.shape[0])
+                   compact=None, gdtype=None):
+    return (_row_cast(rows, gdtype)[chosen_idx].astype(rows.dtype),
+            (chosen_idx, phase, rows.shape[0]))
 
 
-def _row_stoch_bwd2(levels, bwd_k, tsize, compact, res, g):
+def _row_stoch_bwd2(levels, bwd_k, tsize, compact, gdtype, res, g):
     chosen_idx, phase, lt = res
     return (_row_scatter_chosen(g, chosen_idx, phase, lt, levels, bwd_k,
                                 tsize, compact),
@@ -522,6 +580,10 @@ def hashgrid_encode(
         raise ValueError(
             f"bwd_scatter_dtype must be 'bfloat16' or 'float32', got "
             f"{cfg.bwd_scatter_dtype!r}")
+    if cfg.fwd_gather_dtype not in ("bfloat16", "float32"):
+        raise ValueError(
+            f"fwd_gather_dtype must be 'bfloat16' or 'float32', got "
+            f"{cfg.fwd_gather_dtype!r}")
     b = x.shape[0]
     l = cfg.n_levels
     res_np = cfg.resolutions()
@@ -634,12 +696,14 @@ def hashgrid_encode(
             compact = (cfg.bwd_scatter_dtype
                        if cfg.bwd_compact_scatter else None)
             fr = _row_stoch_p(rows, chosen_idx, phase, l_eff, bwd_k,
-                              cfg.table_size, compact)
+                              cfg.table_size, compact,
+                              cfg.fwd_gather_dtype)
         else:
             feats = _stoch_lookup_p(table, chosen_idx, phase,
                                     cfg.n_features, blk, packed, l_eff,
                                     bwd_k, cfg.table_size,
-                                    cfg.bwd_compact_scatter)
+                                    cfg.bwd_compact_scatter,
+                                    cfg.fwd_block_gather)
     else:
         idxs = []
         weights = []
@@ -666,7 +730,8 @@ def hashgrid_encode(
                            if cfg.bwd_compact_scatter else None)
                 fr = _row_stoch_bwd_p(rows, idxs, weights, chosen_idx,
                                       phase, l_eff, bwd_k,
-                                      cfg.table_size, compact)
+                                      cfg.table_size, compact,
+                                      cfg.fwd_gather_dtype)
             else:
                 fr = _row_weighted_p(rows, idxs, weights)
         elif stoch and cfg.stochastic_bwd:

@@ -143,6 +143,9 @@ def main(argv=None):
     parser.add_argument("--ldr_img_dir", type=str, default=None)
     parser.add_argument("--res_scale", type=float, default=1.0)
     parser.add_argument("--spp_diffuse", type=int, default=256)
+    parser.add_argument("--max_frames", type=int, default=0,
+                        help="bake only the first N frames (0 = all); "
+                        "subset dial like refine_shading's")
     args = parser.parse_args(argv)
 
     scene_id = args.scene if args.dataset == "scannetpp" else ""
@@ -167,6 +170,8 @@ def main(argv=None):
 
     t0 = time.time()
     for im_id, fr in enumerate(dataset.frames()):
+        if args.max_frames and im_id >= args.max_frames:
+            break
         maps = _bake_maps_for_frame(
             tracer, em, fr["rays"], dataset.img_hw,
             spp_diffuse=args.spp_diffuse,

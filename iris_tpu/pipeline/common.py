@@ -21,6 +21,19 @@ from iris_tpu.models.hashgrid import HashGridConfig
 from iris_tpu.models.slf import VoxelSLF, init_voxel_slf
 
 
+def mesh_batch_size(batch_size: int, mesh, name: str = "train") -> int:
+    """Round a requested ray-batch size DOWN to a positive multiple of the
+    data-mesh width (GSPMD shards batch axis 0 evenly; an odd batch like
+    13x17=221 pixels from an odd-resolution real scene would otherwise
+    fail sharding at dispatch)."""
+    n = int(np.prod(mesh.devices.shape))
+    b = max((batch_size // n) * n, n)
+    if b != batch_size:
+        print(f"[{name}] batch_size {batch_size} -> {b} "
+              f"(multiple of the {n}-device mesh)")
+    return b
+
+
 def resolve_mesh_path(dataset: str, dataset_root: str, scene: str = "") -> str:
     """Reference mesh layout (train_brdf_crf.py:52-58)."""
     if dataset in ("synthetic", "real"):

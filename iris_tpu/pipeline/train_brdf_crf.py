@@ -20,7 +20,7 @@ from iris_tpu.models.crf import init_emor_crf
 from iris_tpu.parallel.sharding import data_mesh
 from iris_tpu.pipeline.common import (
     adopt_estimator_cfg, build_material, ckpt_path, load_scene, load_vslf,
-    make_dataset,
+    make_dataset, mesh_batch_size,
 )
 from iris_tpu.pipeline.config import add_model_specific_args
 from iris_tpu.train.checkpoint import (
@@ -78,7 +78,9 @@ def main(argv=None):
     bank = dataset.pixel_bank(keys=("rays", "rgbs", "segmentation",
                                     "int_albedo", "diffuse", "specular0",
                                     "specular1"))
-    batcher = RayBatcher(bank, args.batch_size)
+    batcher = RayBatcher(bank, mesh_batch_size(
+        args.batch_size, data_mesh(args.n_devices),
+        __name__.split('.')[-1]))
     if getattr(args, "max_epochs", 0):
         args.max_steps = args.max_epochs * batcher.batches_per_epoch
         print(f"[{__name__.split('.')[-1]}] max_epochs="

@@ -666,3 +666,71 @@ def test_hashgrid_compact_scatter_flat_path():
             scale = float(jnp.abs(g_ref).max())
             assert np.allclose(g_c, g_ref, atol=1e-5 * scale), (
                 packed, bwd_k, stoch_fwd)
+
+
+def test_hashgrid_fwd_gather_dtype_and_block_gather():
+    """Round-5 forward-gather levers (records/gather_block_r5.log):
+
+    1. fwd_gather_dtype='bfloat16' (row mode, stochastic paths): features
+       and gradients must match the f32 read to bf16 rounding, with grad
+       cosine > 0.999 — and eval paths (no key) must stay EXACT f32.
+    2. fwd_block_gather (flat packed mode): per-level-block gathers must
+       be BIT-EXACT vs the global gather.
+    3. bad fwd_gather_dtype strings hard-fail (no silent f32 fallback).
+    """
+    from dataclasses import replace
+
+    import pytest as _pytest
+
+    base = HashGridConfig(n_levels=4, n_features=8, log2_table_size=8,
+                          base_resolution=4, per_level_scale=1.7,
+                          row_gather=True, stochastic_fwd=True,
+                          stochastic_bwd=True, bwd_level_sample=2,
+                          fwd_gather_dtype="bfloat16")
+    c_f32 = replace(base, fwd_gather_dtype="float32")
+    table = init_hashgrid(jax.random.PRNGKey(0), base) * 1e4
+    x = jax.random.uniform(jax.random.PRNGKey(1), (257, 3))
+
+    for stoch_fwd in (True, False):   # _row_stoch_p and _row_stoch_bwd_p
+        key = jax.random.PRNGKey(3 + stoch_fwd)
+        cb = replace(base, stochastic_fwd=stoch_fwd)
+        cf = replace(c_f32, stochastic_fwd=stoch_fwd)
+        f_bf = hashgrid_encode(table, cb, x, key)
+        f_f32 = hashgrid_encode(table, cf, x, key)
+        scale = float(jnp.abs(f_f32).max())
+        assert np.allclose(f_bf, f_f32, atol=1.2e-2 * scale)
+        g_bf = jax.grad(lambda t: jnp.sum(
+            hashgrid_encode(t, cb, x, key) ** 2))(table)
+        g_f = jax.grad(lambda t: jnp.sum(
+            hashgrid_encode(t, cf, x, key) ** 2))(table)
+        cos = float(jnp.vdot(g_bf, g_f)
+                    / (jnp.linalg.norm(g_bf) * jnp.linalg.norm(g_f)
+                       + 1e-20))
+        assert cos > 0.999, cos
+
+    # eval path (no key): bit-exact f32 regardless of fwd_gather_dtype
+    e_bf = hashgrid_encode(table, base, x, None)
+    e_f32 = hashgrid_encode(table, c_f32, x, None)
+    np.testing.assert_array_equal(np.asarray(e_bf), np.asarray(e_f32))
+
+    # flat packed blocked gather: BIT-exact vs global
+    flat = HashGridConfig(n_levels=4, n_features=2, log2_table_size=8,
+                          base_resolution=4, per_level_scale=1.7,
+                          stochastic_fwd=True, stochastic_bwd=True,
+                          fwd_block_gather=True)
+    flat_g = replace(flat, fwd_block_gather=False)
+    t2 = init_hashgrid(jax.random.PRNGKey(5), flat) * 1e4
+    key = jax.random.PRNGKey(6)
+    np.testing.assert_array_equal(
+        np.asarray(hashgrid_encode(t2, flat, x, key)),
+        np.asarray(hashgrid_encode(t2, flat_g, x, key)))
+    # and with fwd level subsampling active (columns at strided levels)
+    fls = replace(flat, fwd_level_sample=2, bwd_level_sample=2)
+    fls_g = replace(flat_g, fwd_level_sample=2, bwd_level_sample=2)
+    np.testing.assert_array_equal(
+        np.asarray(hashgrid_encode(t2, fls, x, key)),
+        np.asarray(hashgrid_encode(t2, fls_g, x, key)))
+
+    with _pytest.raises(ValueError, match="fwd_gather_dtype"):
+        hashgrid_encode(table, replace(base, fwd_gather_dtype="bf16"), x,
+                        jax.random.PRNGKey(0))
