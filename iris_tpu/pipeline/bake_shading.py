@@ -38,7 +38,7 @@ SPP_SPECULAR = [64, 128, 128, 128, 128, 128]
 
 def _bake_maps_for_frame(tracer, em, rays, img_hw, spp_diffuse=256,
                          chunk_rays=10240 * 64, trace_roughness=0.0,
-                         key=None):
+                         key=None, denoise=True, spp_scale=1):
     """Returns dict: diffuse (H,W,3), spec0/spec1 lists of (H,W,3)."""
     key = key if key is not None else jax.random.PRNGKey(0)
     xs = jnp.asarray(rays[..., :3])
@@ -110,11 +110,12 @@ def _bake_maps_for_frame(tracer, em, rays, img_hw, spp_diffuse=256,
     ld = np.where(valid[:, None], ld, 0.0).reshape(h, w, 3)
     nrm_guide = np.where(valid[:, None], nrm, 0.0).reshape(h, w, 3)
     mask_hw = np.asarray(valid).reshape(h, w)
-    result["diffuse"] = denoise_hdr(ld, normal=nrm_guide, mask=mask_hw)
+    result["diffuse"] = (denoise_hdr(ld, normal=nrm_guide, mask=mask_hw)
+                         if denoise else ld)
 
     spec0, spec1 = [], []
     for r_idx, rough in enumerate(ROUGHNESS_LEVELS):
-        spp = SPP_SPECULAR[r_idx]
+        spp = SPP_SPECULAR[r_idx] * spp_scale
         l0, l1 = run_chunked(
             lambda p, nr, wo, rv, k, spp: specular_chunk(p, nr, wo, rv, k,
                                                          spp),
@@ -122,7 +123,7 @@ def _bake_maps_for_frame(tracer, em, rays, img_hw, spp_diffuse=256,
         )
         l0 = np.where(valid[:, None], l0, 0.0).reshape(h, w, 3)
         l1 = np.where(valid[:, None], l1, 0.0).reshape(h, w, 3)
-        if r_idx > 0:  # low roughness needs no denoise (reference :198)
+        if denoise and r_idx > 0:  # low roughness: no denoise (ref :198)
             l0 = denoise_hdr(l0, normal=nrm_guide, mask=mask_hw)
             l1 = denoise_hdr(l1, normal=nrm_guide, mask=mask_hw)
         spec0.append(l0)
@@ -146,6 +147,12 @@ def main(argv=None):
     parser.add_argument("--max_frames", type=int, default=0,
                         help="bake only the first N frames (0 = all); "
                         "subset dial like refine_shading's")
+    parser.add_argument("--denoise", type=int, default=1,
+                        help="0 disables the a-trous pass (A/B arm; the "
+                        "reference's OptixDenoiser analogue is ON)")
+    parser.add_argument("--spp_specular_scale", type=int, default=1,
+                        help="multiply the specular spp ladder (oracle "
+                        "bakes for denoiser A/Bs)")
     args = parser.parse_args(argv)
 
     scene_id = args.scene if args.dataset == "scannetpp" else ""
@@ -176,6 +183,8 @@ def main(argv=None):
             tracer, em, fr["rays"], dataset.img_hw,
             spp_diffuse=args.spp_diffuse,
             key=jax.random.PRNGKey(im_id),
+            denoise=bool(args.denoise),
+            spp_scale=args.spp_specular_scale,
         )
         write_exr(os.path.join(dif_dir, f"{im_id:03d}.exr"), maps["diffuse"])
         for r_idx in range(len(ROUGHNESS_LEVELS)):
