@@ -15,14 +15,18 @@ import numpy as np
 from PIL import Image
 
 
-def resize_max_width(img: np.ndarray, max_width: int) -> np.ndarray:
+def resize_max_width(img: np.ndarray, max_width: int,
+                     nearest: bool = False) -> np.ndarray:
+    """nearest=True for LABEL images (semantic/part masks): area
+    averaging would invent fractional label ids at region borders."""
     h, w = img.shape[:2]
     if w <= max_width:
         return img
     w_new = max_width
     h_new = int(max_width / w * h)
     pil = Image.fromarray(img)
-    return np.asarray(pil.resize((w_new, h_new), Image.BOX))
+    return np.asarray(pil.resize((w_new, h_new),
+                                 Image.NEAREST if nearest else Image.BOX))
 
 
 def main(argv=None):
@@ -30,6 +34,8 @@ def main(argv=None):
     parser.add_argument("--input", type=str, required=True)
     parser.add_argument("--output", type=str, required=True)
     parser.add_argument("--max_width", type=int, default=1024)
+    parser.add_argument("--nearest", action="store_true",
+                        help="nearest-neighbor resampling (label masks)")
     args = parser.parse_args(argv)
 
     os.makedirs(args.output, exist_ok=True)
@@ -41,7 +47,7 @@ def main(argv=None):
             img = np.asarray(Image.open(src))
         except Exception:
             continue
-        out = resize_max_width(img, args.max_width)
+        out = resize_max_width(img, args.max_width, args.nearest)
         Image.fromarray(out).save(os.path.join(args.output, name))
         n += 1
     print(f"[process_images] wrote {n} images to {args.output}")

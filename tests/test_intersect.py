@@ -136,3 +136,37 @@ def test_kernel_gates_round5_policy():
     assert pi.dense_available(tracer)               # fits, but loses A/Bs
     # the selected regime: near-first paired traversal through HBM windows
     assert pi.paired_streamed_available(tracer)
+
+
+def test_policy_order_paired_streamed_over_dense(monkeypatch):
+    """Round-5 policy fix (VERDICT r4 item 3): in auto mode,
+    paired_streamed must outrank the lane-dense resident kernel whenever
+    the paired-resident gate rejects the tracer — dense lost every
+    same-timer device A/B in the 30-102K-face window (records/
+    window_policy_r5.log, records/policy102k_scan_r4.log). Simulated on
+    CPU by faking a TPU backend and pinning the availability gates."""
+    import jax
+
+    from iris_tpu.demo import make_demo_scene
+    from iris_tpu.geometry import intersect as I
+    from iris_tpu.geometry import pallas_intersect as pi
+
+    tracer, *_ = make_demo_scene(n_clutter=8500, slf_res=8, hash_levels=2,
+                                 log2_table=8)
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    prev = jax.config.jax_default_device
+    jax.config.update("jax_default_device", None)
+    try:
+        # gate truth at this size: paired rejects, dense fits, ps streams
+        assert not pi.paired_available(tracer)
+        assert pi.dense_available(tracer)
+        assert pi.paired_streamed_available(tracer)
+        assert I._pallas_mode(tracer, 1 << 18) == "paired_streamed"
+        # explicit escape hatches still reachable
+        monkeypatch.setenv("IRIS_TPU_DENSE", "1")
+        assert I._pallas_mode(tracer, 1 << 18) == "dense"
+        monkeypatch.setenv("IRIS_TPU_DENSE", "auto")
+        monkeypatch.setenv("IRIS_TPU_PAIRED_STREAMED", "0")
+        assert I._pallas_mode(tracer, 1 << 18) == "dense"
+    finally:
+        jax.config.update("jax_default_device", prev)
