@@ -1,12 +1,15 @@
 #!/bin/bash
-# Round-5 denoiser quantification at PRODUCTION budget (VERDICT item 6).
-# Waits for the 4x16 scale arm (reuses its dataset + init checkpoint +
-# its denoise-ON stage-5 caches), then:
-#   1. cache-quality receipt: ON / OFF / high-spp ORACLE bakes on 2
-#      frames -> PSNR(ON vs oracle), PSNR(OFF vs oracle) per cache map
-#   2. downstream receipt: full 16-frame OFF bake + brdf0 refit on OFF
-#      caches (identical budget/seed as the pipeline's ON-cache brdf0)
-#      -> loss components + metric_brdf on 4 rendered frames per arm
+# Round-5 ENDGAME queue (replaces run_r5_denoise_prod.sh +
+# run_r5_final.sh — wall-clock rebudgeted so the round-end CRITICALS
+# cannot collide with the driver's bench):
+#   scale arm done ->
+#   1. CRITICAL: all-arms step receipts (round-5d fwd levers)
+#   2. CRITICAL: clean uncontended bench.py (cache warm for the driver)
+#   3. CRITICAL: __graft_entry__ warm
+#   4. denoiser cache-quality (ON/OFF/oracle on 2 frames + PSNR table)
+#   5. OPTIONAL downstream denoiser half (16-frame OFF bake + refit +
+#      renders) — only if >75 min of round remain at start (driver
+#      budget: round start ~18:20Z + 8 h).
 set -uo pipefail
 cd /root/repo
 export PYTHONPATH=/root/repo:/root/.axon_site
@@ -15,12 +18,20 @@ while ! grep -q SCALE_4X16_DONE records/scale_r5_4x16.log 2>/dev/null; do
 done
 sleep 150
 
+ROWMODE_ARMS=32x2,8x8,4x16 python probes/rowmode_probe.py \
+  > records/fwd_lever_arms_r5.log 2>&1
+sleep 150
+python bench.py > records/bench_final_r5.log 2>&1
+echo "R5_BENCH_DONE" >> records/bench_final_r5.log
+sleep 150
+python __graft_entry__.py > records/graft_entry_final_r5.log 2>&1
+sleep 150
+
 LOG=records/denoise_prod_r5.log
 : > "$LOG"
 ROOT=workdir_scene_l
 EXP=tpu_r5_4x16
 BAKE=checkpoints/$EXP/bake
-DS="--dataset synthetic --scene $ROOT --ldr_img_dir ldr --dataset_root $ROOT"
 COMMON="--dataset synthetic --scene $ROOT --ldr_img_dir ldr"
 
 echo "== cache-quality bakes (2 frames) ==" >> "$LOG"
@@ -30,10 +41,11 @@ for arm in "on 1 64 1" "off 0 64 1" "oracle 0 512 4"; do
     --slf_path $BAKE/vslf.npz --emitter_path $BAKE/emitter.npz \
     --output outputs/$EXP/dn_$1 --spp_diffuse $3 \
     --spp_specular_scale $4 --denoise $2 --max_frames 2 >> "$LOG" 2>&1
-  sleep 60
+  sleep 90
 done
 
 python - >> "$LOG" 2>&1 <<'EOF'
+import json
 import numpy as np
 from iris_tpu.utils.exr import read_exr
 
@@ -43,7 +55,6 @@ def psnr(a, b):
     mse = np.mean((a - b) ** 2)
     return 10 * np.log10(peak ** 2 / max(mse, 1e-12))
 
-import json, os
 base = "outputs/tpu_r5_4x16"
 for arm in ("on", "off"):
     rows = {}
@@ -60,14 +71,25 @@ for arm in ("on", "off"):
                       **{k: round(float(np.mean(v)), 2)
                          for k, v in rows.items()}}))
 EOF
-sleep 60
+echo "DENOISE_CACHE_DONE" >> "$LOG"
+sleep 90
+
+# optional downstream half: gate on remaining wall-clock (round started
+# ~18:20Z; driver ends ~02:20Z). Skip when < 75 min remain.
+now=$(date +%s)
+end=$(date -d "2026-08-21 02:15:00 UTC" +%s)
+if [ $((end - now)) -lt 4500 ]; then
+  echo "DOWNSTREAM_SKIPPED (insufficient wall-clock)" >> "$LOG"
+  echo "DENOISE_PROD_DONE" >> "$LOG"
+  exit 0
+fi
 
 echo "== downstream: 16-frame OFF bake + brdf0 refit ==" >> "$LOG"
 python -m iris_tpu.pipeline.bake_shading $COMMON \
   --slf_path $BAKE/vslf.npz --emitter_path $BAKE/emitter.npz \
   --output outputs/$EXP/shading_off --spp_diffuse 64 --denoise 0 \
   >> "$LOG" 2>&1
-sleep 60
+sleep 90
 
 python -m iris_tpu.pipeline.train_brdf_crf --experiment_name $EXP/brdf0_off \
   --dataset synthetic $ROOT --scene $ROOT --ldr_img_dir ldr \
@@ -78,7 +100,7 @@ python -m iris_tpu.pipeline.train_brdf_crf --experiment_name $EXP/brdf0_off \
   --l_crf_weight 0.001 --val_frame 0 --max_steps 4000 --batch_size 8192 \
   --hash_levels 4 --hash_features 16 --log2_hashmap_size 19 \
   >> "$LOG" 2>&1
-sleep 60
+sleep 90
 
 for arm in brdf0 brdf0_off; do
   python -m iris_tpu.pipeline.render \
@@ -91,6 +113,6 @@ for arm in brdf0 brdf0_off; do
   python -m iris_tpu.utils.metric_brdf --gt "$ROOT/train" \
     --method outputs/$EXP/dn_render_$arm/train --max_frames 4 \
     >> "$LOG" 2>&1
-  sleep 60
+  sleep 90
 done
 echo "DENOISE_PROD_DONE" >> "$LOG"
