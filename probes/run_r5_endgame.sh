@@ -18,13 +18,13 @@ while ! grep -q SCALE_4X16_DONE records/scale_r5_4x16.log 2>/dev/null; do
 done
 sleep 150
 
-ROWMODE_ARMS=32x2,8x8,4x16 python probes/rowmode_probe.py \
-  > records/fwd_lever_arms_r5.log 2>&1
-sleep 150
 python bench.py > records/bench_final_r5.log 2>&1
 echo "R5_BENCH_DONE" >> records/bench_final_r5.log
 sleep 150
 python __graft_entry__.py > records/graft_entry_final_r5.log 2>&1
+sleep 150
+ROWMODE_ARMS=32x2,8x8,4x16 python probes/rowmode_probe.py \
+  > records/fwd_lever_arms_r5.log 2>&1
 sleep 150
 
 LOG=records/denoise_prod_r5.log
