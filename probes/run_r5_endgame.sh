@@ -18,14 +18,34 @@ while ! grep -q SCALE_4X16_DONE records/scale_r5_4x16.log 2>/dev/null; do
 done
 sleep 150
 
+# wall-clock guard: minutes left before the driver reclaims the chip
+mins_left() {
+  end=$(date -d "2026-08-21 02:15:00 UTC" +%s)
+  echo $(( (end - $(date +%s)) / 60 ))
+}
+
 python bench.py > records/bench_final_r5.log 2>&1
 echo "R5_BENCH_DONE" >> records/bench_final_r5.log
-sleep 150
-python __graft_entry__.py > records/graft_entry_final_r5.log 2>&1
-sleep 150
-ROWMODE_ARMS=32x2,8x8,4x16 python probes/rowmode_probe.py \
-  > records/fwd_lever_arms_r5.log 2>&1
-sleep 150
+sleep 120
+if [ "$(mins_left)" -ge 12 ]; then
+  python __graft_entry__.py > records/graft_entry_final_r5.log 2>&1
+  sleep 120
+fi
+if [ "$(mins_left)" -ge 45 ]; then
+  ROWMODE_ARMS=32x2,8x8,4x16 python probes/rowmode_probe.py \
+    > records/fwd_lever_arms_r5.log 2>&1
+  sleep 120
+elif [ "$(mins_left)" -ge 18 ]; then
+  ROWMODE_ARMS=32x2 python probes/rowmode_probe.py \
+    > records/fwd_lever_arms_r5.log 2>&1
+  sleep 120
+else
+  echo "ARMS_SKIPPED (wall clock)" > records/fwd_lever_arms_r5.log
+fi
+if [ "$(mins_left)" -lt 35 ]; then
+  echo "DENOISE_SKIPPED (wall clock)" > records/denoise_prod_r5.log
+  exit 0
+fi
 
 LOG=records/denoise_prod_r5.log
 : > "$LOG"
