@@ -113,17 +113,19 @@ class HashGridConfig:
     # corner estimator itself. Set "float32" for exact accumulation.
     bwd_compact_scatter: bool = field(default=True, metadata=dict(static=True))
     bwd_scatter_dtype: str = field(default="bfloat16", metadata=dict(static=True))
-    # Row-mode FORWARD gathers read a bfloat16 cast of the table (master
-    # params stay f32; features cast back to f32 after the gather).
-    # Device-measured (records/gather_block_r5.log, production shapes):
-    # 2.1M row-8 gathers 31.1 -> 12.4 ms (5.9 vs 14.9 ns/row — a 16 B
-    # bf16 row is one cache transaction where the 32 B f32 row is two).
-    # Applies ONLY to the stochastic-estimator paths (training); eval /
-    # render paths (no key) keep exact f32 gathers. Standard
-    # mixed-precision fwd: one deterministic bf16 round (~0.4% rel),
-    # noise-dominated by the stochastic corner estimator; quality
-    # unit-tested (cosine > 0.999). "float32" restores exact reads.
-    fwd_gather_dtype: str = field(default="bfloat16",
+    # Row-mode FORWARD gathers can read a bfloat16 cast of the table
+    # (master params stay f32; features cast back after the gather).
+    # Microbenched 2.5x on UNIFORM-RANDOM indices (records/
+    # gather_block_r5.log: 5.9 vs 14.9 ns/row) but measured NEUTRAL at
+    # the full step (records/bench_final_r5.log 4.07M vs the f32
+    # bench_clean_r5 4.06M rays/s; 102K regime 2.10 vs 2.13M):
+    # production queries are spatially SORTED, so the f32 gathers
+    # already ride the cache and the wall is latency, not row bytes —
+    # the round-2e finding again. Default therefore stays EXACT f32;
+    # "bfloat16" remains a dial for workloads with uncorrelated access
+    # patterns. Stochastic-estimator (training) paths only; eval /
+    # render reads are always exact f32.
+    fwd_gather_dtype: str = field(default="float32",
                                   metadata=dict(static=True))
     # Flat/packed mode (e.g. the 32Lx2F reference parameterization):
     # issue the forward gather per LEVEL BLOCK with local indices instead
