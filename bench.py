@@ -4,11 +4,13 @@ Measures rays/s of a jit-compiled gradient step of `path_tracing_single`
 (3 BVH traversals + hash-grid BRDF + emitter sampling + CRF per camera
 sample, grads into material+emitter+CRF — mirrors SURVEY.md §3.2, the
 reference's initialize/train_emitter inner loop) at the PRODUCTION DEFAULT
-model parameterization (pipeline/config.py, round 4): the 8-level x
-8-feature row-gather hash grid — the SAME parameter count (2^24 table
+model parameterization (pipeline/config.py, round 5): the 4-level x
+16-feature row-gather hash grid — the SAME parameter count (2^24 table
 floats) and 64-wide MLP input as the reference's 32 levels x 2 features x
 2^19 (reference model/brdf.py:222-240), laid out for TPU row gathers
-(1.73x full-step, quality receipts in PERF.md round-3a/round-4).
+(quality receipts: miniature equal-capacity arm round-3a + the FULL
+production-scale grid-only A/B, PERF.md round-5f — image metrics
+neutral, decomposition correlations better than the round-4 8x8).
 
 Two regimes in one JSON line (round-3 verdict item 2 — the 398-face
 flagship number alone overstates the production regime by 1.5-2x):
@@ -52,8 +54,8 @@ import jax.numpy as jnp
 
 BATCH = 8192          # reference training batch (configs/config.py:9)
 SPP = 32              # reference per-round spp (train.sh:20)
-HASH_LEVELS = 8       # production default (pipeline/config.py hash_levels)
-HASH_FEATURES = 8     # row-gather grid: L*F*2^19 = reference capacity
+HASH_LEVELS = 4       # production default (pipeline/config.py hash_levels)
+HASH_FEATURES = 16    # row-gather grid: L*F*2^19 = reference capacity
 LOG2_TABLE = 19       # reference model/brdf.py:226
 
 

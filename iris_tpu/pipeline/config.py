@@ -45,7 +45,7 @@ default_options = {
     "l_crf_weight": {"type": float, "default": 0.001},
     # TPU-specific additions
     "n_devices": {"type": int, "default": None},
-    # PRODUCTION DEFAULT (round 4): 8 levels x 8 features — the row-gather
+    # PRODUCTION DEFAULT (round 5): 4 levels x 16 features — the row-gather
     # grid (models/hashgrid.py row_gather). Same parameter count
     # (L*F*2^19 = 2^24 table floats) and same 64-wide MLP input as the
     # reference 32x2 parameterization (model/brdf.py:222-229), but each
@@ -60,7 +60,14 @@ default_options = {
     # records/scale_r4a.log).
     # Reference-parity parameterization: --hash_levels 32
     # --hash_features 2 (kept exact; tests pin it explicitly).
-    "hash_levels": {"type": int, "default": 8},
+    # Round-5 promotion: 4 levels x 16 features (same 2^24 params, same
+    # 64-wide MLP input) — 1.36x the 8x8 step (48.7 vs 66.1 ms,
+    # records/compact_scatter_arms_r5.log) and the full production-scale
+    # grid-only A/B is quality-neutral on image metrics and BETTER on
+    # every decomposition-correlation axis (PERF.md round-5f,
+    # records/scale_r5_4x16.log). 8x8 was the round-4 default; both are
+    # dials away, 32x2 stays the exact reference escape.
+    "hash_levels": {"type": int, "default": 4},
     "log2_hashmap_size": {"type": int, "default": 19},
     # wide-feature levels (models/hashgrid.py row_gather): trade levels for
     # features at the SAME parameter count and MLP width — e.g.
@@ -69,7 +76,7 @@ default_options = {
     # gathers are ~free-width on this backend, PERF.md round-2e). -1 =
     # auto (row mode on when hash_features > 2). per_level_scale -1 = auto:
     # span the reference 32-level resolution range at any level count.
-    "hash_features": {"type": int, "default": 8},
+    "hash_features": {"type": int, "default": 16},
     "hash_row_gather": {"type": int, "default": -1},
     "per_level_scale": {"type": float, "default": -1.0},
     # hash-grid gradient/forward estimators for TRAINING (see

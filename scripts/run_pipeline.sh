@@ -35,8 +35,8 @@ L_CRF_WEIGHT=${L_CRF_WEIGHT:-0.001}
 # throughput (pipeline/config.py, PERF.md round-3f + round-4 scale
 # receipt). Reference parity: HASH_LEVELS=32 HASH_FEATURES=2.
 BATCH_SIZE=${BATCH_SIZE:-8192}
-HASH_LEVELS=${HASH_LEVELS:-8}
-HASH_FEATURES=${HASH_FEATURES:-8}
+HASH_LEVELS=${HASH_LEVELS:-4}
+HASH_FEATURES=${HASH_FEATURES:-16}
 LOG2_HASH=${LOG2_HASH:-19}
 VOXEL_NUM=${VOXEL_NUM:-256}
 TRAIN_COMMON="--batch_size $BATCH_SIZE --hash_levels $HASH_LEVELS --hash_features $HASH_FEATURES --log2_hashmap_size $LOG2_HASH"
